@@ -1,0 +1,193 @@
+"""Configuration system: frozen dataclasses + `key = value` .cfg files.
+
+TPU-native replacement for the reference's `ConfigFile` / `ProgramOptions`
+(reference: pb:src/utils.h/.cc, Boost.program_options). The same `.cfg`
+syntax is accepted (``key = value`` lines, ``#``/``%`` comments) so reference
+configs can be dropped in; option names follow the reference's camelCase
+(SURVEY.md section 5.6) with TPU-specific additions grouped at the end.
+
+`PBAConfig` is hashable and immutable, so it is safe to close over in `jit`
+or pass as a static argument — shapes derived from it (window size, point
+capacity, patch size) are compile-time constants, which is the keystone of
+the static-shape state design (SURVEY.md section 7.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+
+class ConfigFile:
+    """Parser for the reference's ``key = value`` config format.
+
+    Supports ``#``, ``%`` and ``//`` comments, blank lines, and typed getters
+    with defaults, mirroring `ConfigFile::get<T>` in pb:src/utils.h.
+    """
+
+    def __init__(self, path: Optional[str] = None, text: Optional[str] = None):
+        self._kv: Dict[str, str] = {}
+        if path is not None:
+            with open(path, "r") as f:
+                text = f.read()
+        if text is not None:
+            self._parse(text)
+
+    def _parse(self, text: str) -> None:
+        for raw in text.splitlines():
+            line = raw.strip()
+            for marker in ("#", "%", "//"):
+                idx = line.find(marker)
+                if idx >= 0:
+                    line = line[:idx].strip()
+            if not line or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            self._kv[key.strip()] = value.strip()
+
+    def set(self, key: str, value: Any) -> None:
+        self._kv[key] = str(value)
+
+    def get(self, key: str, default: Any = None, type_: Optional[type] = None) -> Any:
+        if key not in self._kv:
+            if default is None and type_ is None:
+                raise KeyError(f"config key '{key}' not found and no default given")
+            return default
+        raw = self._kv[key]
+        t = type_ if type_ is not None else (type(default) if default is not None else str)
+        if t is bool:
+            return raw.lower() in ("1", "true", "yes", "on")
+        return t(raw)
+
+    def keys(self):
+        return self._kv.keys()
+
+    def as_dict(self) -> Dict[str, str]:
+        return dict(self._kv)
+
+
+# Descriptor types (reference: pb:src/photobundle.cc DescriptorFrame::Create).
+DESCRIPTOR_INTENSITY = "Intensity"
+DESCRIPTOR_INTENSITY_AND_GRADIENT = "IntensityAndGradient"
+DESCRIPTOR_BITPLANES = "BitPlanes"
+
+_DESCRIPTOR_CHANNELS = {
+    DESCRIPTOR_INTENSITY: 1,
+    DESCRIPTOR_INTENSITY_AND_GRADIENT: 3,
+    DESCRIPTOR_BITPLANES: 8,
+}
+
+
+@dataclass(frozen=True)
+class PBAConfig:
+    """All knobs of the engine. Field names mirror the reference options
+    (SURVEY.md section 5.6); values here are the reference's defaults."""
+
+    # --- descriptor / residual model ---
+    descriptor: str = DESCRIPTOR_INTENSITY
+    patchRadius: int = 2                  # patch side = 2r+1 (5x5)
+    sigmaPriorToCensusTransform: float = 0.5   # BitPlanes pre-smoothing
+    sigmaBitPlanes: float = 0.75               # BitPlanes channel smoothing
+    normalizePatches: bool = True              # per-patch mean removal
+
+    # --- window / point lifecycle ---
+    slidingWindowSize: int = 5
+    maxNumPoints: int = 4096              # fixed point-table capacity N_max
+    maxPointsPerFrame: int = 1024         # admission cap per new frame
+    nonMaxSuppRadius: int = 1
+    minSaliency: float = 1.0              # saliency floor for selection
+    maskBlockRadius: int = 1              # block masked around tracked points
+    minScore: float = 0.75                # ZNCC visibility gate
+    maxFrameDistance: int = 1             # max age (frames) for re-tracking
+    minDepth: float = 0.1
+    maxDepth: float = 80.0
+
+    # --- solver ---
+    maxIterations: int = 50
+    functionTolerance: float = 1e-6       # relative cost-decrease stop
+    parameterTolerance: float = 1e-8      # step-norm stop
+    gradientTolerance: float = 1e-10
+    robustThreshold: float = 0.05         # Huber delta on patch residual norm
+    initialLambda: float = 1e-4           # LM damping init
+    minLambda: float = 1e-10
+    maxLambda: float = 1e8
+    numFixedPoses: int = 1                # gauge fixing: freeze oldest pose(s)
+    refineDepthOnly: bool = False         # optionally hold points' xy
+    solverVerbose: bool = False
+
+    # --- pyramid ---
+    pyramidLevels: int = 1                # refinement runs at level 0
+    refinementLevel: int = 0
+
+    # --- dataset / stereo (host side) ---
+    dataDir: str = ""
+    sequence: int = 0
+    firstFrame: int = 0
+    numFrames: int = -1                   # -1 = all
+    stereoAlgorithm: str = "BM"           # BM | SGBM | precomputed
+    sadWindowSize: int = 9
+    numDisparities: int = 128
+    minDisparity: int = 1
+
+    # --- TPU-native additions (no reference counterpart) ---
+    dtype: str = "float32"
+    gradientMode: str = "sampled"         # 'sampled' (smoothed central-diff
+                                          # gradient images, DSO-style) or
+                                          # 'exact' (bilinear-surface grad,
+                                          # matches jax.grad exactly)
+    meshPoints: int = 1                   # chips along the point axis
+    meshWindows: int = 1                  # data-parallel window/sequence axis
+    usePallas: bool = False               # Pallas fused kernels for hot ops
+    checkpointDir: str = ""
+
+    # ---- derived (static) quantities ----
+    @property
+    def patch_size(self) -> int:
+        return 2 * self.patchRadius + 1
+
+    @property
+    def num_channels(self) -> int:
+        return _DESCRIPTOR_CHANNELS[self.descriptor]
+
+    @property
+    def patch_dim(self) -> int:
+        """Residual dimension per observation: |patch| * channels."""
+        return self.patch_size * self.patch_size * self.num_channels
+
+    def validate(self) -> "PBAConfig":
+        if self.descriptor not in _DESCRIPTOR_CHANNELS:
+            raise ValueError(f"unknown descriptor '{self.descriptor}'")
+        if self.slidingWindowSize < 2:
+            raise ValueError("slidingWindowSize must be >= 2")
+        if not (0 <= self.numFixedPoses <= self.slidingWindowSize):
+            raise ValueError("numFixedPoses out of range")
+        if self.gradientMode not in ("sampled", "exact"):
+            raise ValueError(f"unknown gradientMode '{self.gradientMode}'")
+        if self.refinementLevel >= self.pyramidLevels:
+            raise ValueError("refinementLevel must be < pyramidLevels")
+        return self
+
+    @staticmethod
+    def from_config_file(cfg: "ConfigFile | str") -> "PBAConfig":
+        """Build from a ConfigFile (or path), using dataclass defaults for
+        missing keys. Unknown keys are ignored (reference behavior)."""
+        if isinstance(cfg, str):
+            cfg = ConfigFile(cfg)
+        fields = {f.name: f for f in dataclasses.fields(PBAConfig)}
+        kwargs = {}
+        for key in cfg.keys():
+            if key in fields:
+                f = fields[key]
+                kwargs[key] = cfg.get(key, type_=f.type if isinstance(f.type, type) else _field_pytype(f))
+        return PBAConfig(**kwargs).validate()
+
+    def replace(self, **kwargs) -> "PBAConfig":
+        return dataclasses.replace(self, **kwargs).validate()
+
+
+def _field_pytype(f: dataclasses.Field) -> type:
+    # dataclass field types arrive as strings under `from __future__ import
+    # annotations`; map them back to concrete types for the parser.
+    mapping = {"int": int, "float": float, "str": str, "bool": bool}
+    return mapping.get(str(f.type), str)

@@ -1,0 +1,200 @@
+"""Levenberg-Marquardt trust-region loop, fully inside `lax.while_loop`.
+
+TPU-native replacement for Ceres' LEVENBERG_MARQUARDT trust region
+(reference: pb:src/photobundle.cc `ceres::Solve`; SURVEY.md section 3.3 hot
+loop no. 3). One LM iteration = one traced program: evaluate residuals +
+Jacobians, Schur-eliminate points, solve the reduced camera system, test the
+candidate with a cheap residual-only pass, accept/reject branch-free via
+`jnp.where`. No recompiles across iterations, no host round-trips — the
+whole solve is a single XLA computation.
+
+Lambda policy: Nielsen's adaptive damping (the same policy Ceres uses):
+  accept: lam *= max(1/3, 1 - (2*rho - 1)^3); nu = 2
+  reject: lam *= nu; nu *= 2
+Step acceptance uses the gain ratio rho = actual / predicted decrease.
+
+Per-iteration records (cost, lambda, step norm, accepted) are written into
+fixed-size arrays — the equivalent of Ceres' per-iteration summary table
+(SURVEY.md section 5.1/5.5) — and returned to the host once per solve.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from . import schur
+from .residuals import evaluate
+
+
+class LMStats(NamedTuple):
+    initial_cost: jax.Array     # ()
+    final_cost: jax.Array       # ()
+    iterations: jax.Array       # () accepted + rejected iterations run
+    accepted_steps: jax.Array   # ()
+    termination: jax.Array      # () code: 0 running, 1 maxiter, 2 ftol,
+                                #    3 xtol, 4 lambda overflow
+    cost_log: jax.Array         # (max_iter,) cost after each iteration
+    lambda_log: jax.Array       # (max_iter,)
+    step_log: jax.Array         # (max_iter,) step norms
+    accept_log: jax.Array       # (max_iter,) bool
+    n_residuals: jax.Array      # () valid observation count
+
+
+class _LoopState(NamedTuple):
+    t_wc: jax.Array
+    x_world: jax.Array
+    cost: jax.Array
+    lam: jax.Array
+    nu: jax.Array
+    it: jax.Array
+    accepted: jax.Array
+    term: jax.Array
+    cost_log: jax.Array
+    lambda_log: jax.Array
+    step_log: jax.Array
+    accept_log: jax.Array
+
+
+def lm_solve(
+    cam,
+    t_wc: jax.Array,          # (W, 4, 4) initial window poses
+    x_world: jax.Array,       # (N, 3) initial points
+    patch: jax.Array,         # (N, C, P)
+    channels: jax.Array,      # (W, C, H, Wi)
+    grads: jax.Array,         # (W, C, H, Wi, 2)
+    obs_mask: jax.Array,      # (N, W)
+    point_valid: jax.Array,   # (N,)
+    frozen: jax.Array,        # (W,) gauge-fixed poses
+    offsets: jax.Array,       # (P, 2)
+    *,
+    huber_delta: float,
+    gradient_mode: str = "sampled",
+    max_iterations: int = 50,
+    initial_lambda: float = 1e-4,
+    min_lambda: float = 1e-10,
+    max_lambda: float = 1e8,
+    function_tolerance: float = 1e-6,
+    parameter_tolerance: float = 1e-8,
+    reduce_fn: Callable | None = None,
+):
+    """Run LM to convergence. Returns (t_wc, x_world, LMStats).
+
+    `reduce_fn(tree) -> tree` is the cross-shard reduction hook: identity on
+    a single chip, `jax.lax.psum(..., axis)` inside `shard_map`
+    (parallel/sharded.py). It is applied to the normal-equation blocks that
+    are summed over points, and to scalar cost/step accumulators.
+    """
+    if reduce_fn is None:
+        reduce_fn = lambda x: x
+
+    obs_mask = obs_mask & point_valid[:, None]
+
+    def full_cost(t, x):
+        res = evaluate(cam, t, x, patch, channels, grads, obs_mask, offsets,
+                       huber_delta, gradient_mode, with_jacobians=False)
+        return reduce_fn(res.cost), reduce_fn(res.n_residuals)
+
+    init_cost, n_res = full_cost(t_wc, x_world)
+
+    def body(st: _LoopState) -> _LoopState:
+        res = evaluate(cam, st.t_wc, st.x_world, patch, channels, grads,
+                       obs_mask, offsets, huber_delta, gradient_mode)
+        eq = schur.build_normal_equations(res)
+        # Cross-shard reduction of pose-side blocks (points stay local).
+        eq = eq._replace(hcc=reduce_fn(eq.hcc), bc=reduce_fn(eq.bc))
+        # Freeze poses with no support (empty slots) in addition to gauge.
+        obs_per_frame = reduce_fn(jnp.sum(res.valid.astype(jnp.int32), axis=0))
+        frz = frozen | (obs_per_frame == 0)
+
+        sys_parts = schur.reduce_camera_system(eq, st.lam, point_valid, frz,
+                                               reduce_fn=reduce_fn)
+        dc, dp = schur.solve_reduced(sys_parts)
+
+        t_new = se3.retract_right(st.t_wc, dc)
+        x_new = st.x_world + dp
+        new_cost, _ = full_cost(t_new, x_new)
+
+        pred = schur.predicted_reduction(eq, st.lam, dc, dp, reduce_fn=reduce_fn)
+        pred = jnp.maximum(pred, 1e-20)
+        actual = st.cost - new_cost
+        rho = actual / pred
+        accept = (rho > 0) & jnp.isfinite(new_cost)
+
+        # Nielsen damping update.
+        lam_acc = st.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_new = jnp.where(accept, jnp.clip(lam_acc, min_lambda, max_lambda),
+                            jnp.minimum(st.lam * st.nu, max_lambda * 10.0))
+        nu_new = jnp.where(accept, 2.0, st.nu * 2.0)
+
+        step_norm2 = reduce_fn(jnp.sum(dp * dp)) + jnp.sum(dc * dc)
+        param_norm2 = reduce_fn(jnp.sum(st.x_world ** 2)) + jnp.sum(se3.se3_log(st.t_wc) ** 2)
+        step_norm = jnp.sqrt(step_norm2)
+
+        cost_out = jnp.where(accept, new_cost, st.cost)
+        # Termination tests (only on accepted steps, Ceres-style).
+        ftol_hit = accept & (actual <= function_tolerance * st.cost)
+        xtol_hit = accept & (step_norm <= parameter_tolerance * (jnp.sqrt(param_norm2) + parameter_tolerance))
+        lam_hit = ~accept & (st.lam >= max_lambda)
+        term = jnp.where(ftol_hit, 2, jnp.where(xtol_hit, 3, jnp.where(lam_hit, 4, 0)))
+
+        i = st.it
+        return _LoopState(
+            t_wc=jnp.where(accept, t_new, st.t_wc),
+            x_world=jnp.where(accept, x_new, st.x_world),
+            cost=cost_out,
+            lam=lam_new,
+            nu=nu_new,
+            it=i + 1,
+            accepted=st.accepted + accept.astype(jnp.int32),
+            term=term.astype(jnp.int32),
+            cost_log=st.cost_log.at[i].set(cost_out),
+            lambda_log=st.lambda_log.at[i].set(st.lam),
+            step_log=st.step_log.at[i].set(step_norm),
+            accept_log=st.accept_log.at[i].set(accept),
+        )
+
+    def cond(st: _LoopState):
+        return (st.it < max_iterations) & (st.term == 0)
+
+    nan = jnp.nan
+    st0 = _LoopState(
+        t_wc=t_wc,
+        x_world=x_world,
+        cost=init_cost,
+        lam=jnp.asarray(initial_lambda, t_wc.dtype),
+        nu=jnp.asarray(2.0, t_wc.dtype),
+        it=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(0, jnp.int32),
+        term=jnp.asarray(0, jnp.int32),
+        cost_log=jnp.full((max_iterations,), nan, t_wc.dtype),
+        lambda_log=jnp.full((max_iterations,), nan, t_wc.dtype),
+        step_log=jnp.full((max_iterations,), nan, t_wc.dtype),
+        accept_log=jnp.zeros((max_iterations,), bool),
+    )
+    st = jax.lax.while_loop(cond, body, st0)
+
+    stats = LMStats(
+        initial_cost=init_cost,
+        final_cost=st.cost,
+        iterations=st.it,
+        accepted_steps=st.accepted,
+        termination=jnp.where(st.term == 0, 1, st.term),
+        cost_log=st.cost_log,
+        lambda_log=st.lambda_log,
+        step_log=st.step_log,
+        accept_log=st.accept_log,
+        n_residuals=n_res,
+    )
+    return st.t_wc, st.x_world, stats
+
+
+TERMINATION_NAMES = {
+    1: "max_iterations",
+    2: "function_tolerance",
+    3: "parameter_tolerance",
+    4: "lambda_overflow",
+}

@@ -1,0 +1,177 @@
+"""Photometric residuals and analytic Jacobians — the innermost hot path.
+
+TPU-native replacement for the reference's Ceres autodiff cost functor
+(`AutoDiffCostFunction<DescriptorError, DYNAMIC, 6, 3>` over a
+`BiCubicInterpolator`; pb:src/photobundle.cc, SURVEY.md section 3.4). The
+reference evaluates residuals point-by-point inside Ceres with autodiff; here
+the entire (point x frame x pixel) residual tensor is evaluated in one fused
+batched program with hand-derived Jacobians.
+
+Residual model (SURVEY.md 3.4). For point p with world position X, reference
+descriptor patch d (mean-normalized), observed in window frame f with pose
+T_wc[f], patch offsets {o_k}:
+
+    y      = T_wc[f]^{-1} . X                      (camera-frame point)
+    u      = pi(K y)                               (projected pixel)
+    s_ck   = I_c(u + o_k)                          (bilinear sample)
+    r_ck   = (s_ck - mean_k s_ck) - d_ck           (brightness-normalized)
+
+Jacobian structure — the TPU key fact: patches are fronto-parallel, so every
+pixel of a patch moves with the same projected displacement du/dtheta. The
+per-observation Jacobian therefore FACTORS:
+
+    dr/dtheta = Gc @ A,   Gc = patch-mean-centered sampled gradients (D, 2)
+                          A  = du/d[pose(6) | point(3)]          (2, 9)
+
+so residual/Jacobian/Gauss-Newton assembly is pure batched matmul (MXU food)
+instead of per-pixel autodiff. Pose Jacobians use the right-multiplicative
+local parameterization T <- T @ exp(xi) (geometry/se3.py):
+
+    dy/drho = -I,  dy/domega = [y]_x,  dy/dX = R_wc^T
+
+Robustness: Huber loss on the per-observation residual norm, folded in as
+IRLS whitening sqrt(w) (reference: ceres::HuberLoss(robustThreshold)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..image import interp
+
+
+class Residuals(NamedTuple):
+    r: jax.Array        # (N, W, D) whitened residuals (zero where invalid)
+    j_pose: jax.Array   # (N, W, D, 6) whitened d r / d pose twist
+    j_point: jax.Array  # (N, W, D, 3) whitened d r / d X
+    valid: jax.Array    # (N, W) observation validity
+    cost: jax.Array     # () robust cost sum_{p,f} rho(||r||^2)
+    n_residuals: jax.Array  # () number of valid observations
+
+
+def _huber_weight(r_norm2: jax.Array, delta: float):
+    """IRLS weight w = rho'(s) for Huber rho; and rho(s) itself.
+
+    rho(s) = s                      if s <= delta^2
+           = 2 delta sqrt(s) - delta^2   otherwise
+    """
+    rn = jnp.sqrt(jnp.maximum(r_norm2, 1e-20))
+    w = jnp.minimum(1.0, delta / rn)
+    rho = jnp.where(rn <= delta, r_norm2, 2.0 * delta * rn - delta * delta)
+    return w, rho
+
+
+def _observation_geometry(cam, t_wc_f, x_world):
+    """Per-(frame) geometry for all points: camera point y, pixel u, and the
+    A = du/d[pose|point] (2, 9) chain. Shapes: x_world (N, 3)."""
+    t_cw = se3.se3_inverse(t_wc_f)
+    r_cw = t_cw[:3, :3]
+    y = x_world @ r_cw.T + t_cw[:3, 3]                    # (N, 3)
+    uv, in_front = cam_mod.project(cam, y)                # (N, 2), (N,)
+    jproj = cam_mod.project_jacobian(cam, y)              # (N, 2, 3)
+    # dy/d(pose twist) under T <- T @ exp(xi): [-I | hat(y)]  -> (N, 3, 6)
+    n = x_world.shape[0]
+    dy_dpose = jnp.concatenate(
+        [jnp.broadcast_to(-jnp.eye(3, dtype=y.dtype), (n, 3, 3)), se3.hat(y)], axis=-1
+    )
+    a_pose = jproj @ dy_dpose                             # (N, 2, 6)
+    a_point = jproj @ r_cw                                # (N, 2, 3)
+    return y, uv, in_front, jnp.concatenate([a_pose, a_point], axis=-1)  # A: (N, 2, 9)
+
+
+def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str):
+    """Sample patch values and gradients for one frame.
+
+    channels_f (C, H, W), grads_f (C, H, W, 2), uv (N, 2), offsets (P, 2).
+    Returns s (N, C, P), g (N, C, P, 2), valid (N,).
+    """
+    pts = uv[:, None, :] + offsets                        # (N, P, 2)
+    if gradient_mode == "exact":
+        s, g, ok = interp.bilinear_with_grad(channels_f, pts)   # (C,N,P), (C,N,P,2)
+        s = jnp.moveaxis(s, 0, 1)
+        g = jnp.moveaxis(g, 0, 1)
+    else:
+        c, h, w = channels_f.shape
+        # One fused gather over C*3 planes: values + both gradient components.
+        stacked = jnp.concatenate(
+            [channels_f, grads_f[..., 0], grads_f[..., 1]], axis=0
+        )                                                  # (3C, H, W)
+        vals, ok = interp.bilinear(stacked, pts)          # (3C, N, P)
+        vals = jnp.moveaxis(vals, 0, 1)                   # (N, 3C, P)
+        s = vals[:, :c]
+        g = jnp.stack([vals[:, c:2 * c], vals[:, 2 * c:]], axis=-1)  # (N, C, P, 2)
+    return s, g, jnp.all(ok, axis=-1)                     # valid: (N,)
+
+
+def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
+             offsets, huber_delta: float, gradient_mode: str = "sampled",
+             with_jacobians: bool = True,
+             point_scale: jax.Array | None = None) -> Residuals:
+    """Evaluate all (point, window-frame) photometric residuals at once.
+
+    Args:
+      cam: Camera (at the refinement pyramid level).
+      t_wc: (W, 4, 4) window poses.
+      x_world: (N, 3) point positions.
+      patch: (N, C, P) mean-normalized reference descriptors.
+      channels / grads: (W, C, H, Wi) / (W, C, H, Wi, 2) window images.
+      obs_mask: (N, W) bool — active & observed (from tracking).
+      offsets: (P, 2) patch offset grid.
+      huber_delta: Huber threshold on the per-observation residual norm.
+      with_jacobians: False for the cheap cost-only pass (LM candidate test).
+      point_scale: optional (N,) per-point whitening (unused by default).
+
+    Returns Residuals with whitened r/J (zeros where invalid).
+    """
+    n, w = obs_mask.shape
+    c = patch.shape[1]
+    p = patch.shape[2]
+    d = c * p
+
+    def per_frame(t_wc_f, channels_f, grads_f, obs_f):
+        y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
+        s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode)
+        valid = obs_f & in_front & in_bounds              # (N,)
+        s_centered = s - jnp.mean(s, axis=-1, keepdims=True)
+        r = (s_centered - patch).reshape(n, d)            # (N, D)
+        if with_jacobians:
+            g_centered = (g - jnp.mean(g, axis=-2, keepdims=True)).reshape(n, d, 2)
+            j = g_centered @ a                            # (N, D, 9)
+        else:
+            j = jnp.zeros((n, d, 9), r.dtype)
+        return r, j, valid
+
+    r, j, valid = jax.vmap(per_frame, in_axes=(0, 0, 0, 1), out_axes=(1, 1, 1))(
+        t_wc, channels, grads, obs_mask
+    )  # r (N, W, D), j (N, W, D, 9), valid (N, W)
+
+    vf = valid.astype(r.dtype)
+    r = r * vf[..., None]
+    r_norm2 = jnp.sum(r * r, axis=-1)                     # (N, W)
+    w_huber, rho = _huber_weight(r_norm2, huber_delta)
+    sw = jnp.sqrt(w_huber) * vf
+    r = r * sw[..., None]
+    if with_jacobians:
+        j = j * sw[..., None, None]
+        j_pose, j_point = j[..., :6], j[..., 6:]
+    else:
+        j_pose = jnp.zeros((n, w, d, 6), r.dtype)
+        j_point = jnp.zeros((n, w, d, 3), r.dtype)
+    cost = 0.5 * jnp.sum(rho * vf)
+    return Residuals(
+        r=r, j_pose=j_pose, j_point=j_point, valid=valid,
+        cost=cost, n_residuals=jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
+def cost_only(cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
+              huber_delta: float, gradient_mode: str = "sampled"):
+    """Robust cost without Jacobians — used for LM step acceptance."""
+    res = evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
+                   offsets, huber_delta, gradient_mode, with_jacobians=False)
+    return res.cost, res.n_residuals

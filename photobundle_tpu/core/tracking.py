@@ -1,0 +1,73 @@
+"""Visibility tracking: project scene points into a new frame and gate by ZNCC.
+
+TPU-native replacement for the reference's hot loop no. 1 (SURVEY.md 3.2):
+an OpenMP loop over `_scene_points` that projects each into the new frame,
+scores ZNCC against the stored descriptor patch, and records an observation
+if the score passes `minScore`. Here the whole point table is processed in
+one batched program — projection, patch gather, and ZNCC are each a single
+fused op over (N, P) tensors.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..image import patches as patches_mod
+from .state import PointTable
+
+
+class TrackResult(NamedTuple):
+    points: PointTable
+    uv: jax.Array        # (N, 2) projections into the new frame
+    tracked: jax.Array   # (N,) newly recorded observations
+    score: jax.Array     # (N,) ZNCC scores (garbage where invalid)
+
+
+def track_into_frame(
+    points: PointTable,
+    cam,
+    t_wc_new: jax.Array,      # (4, 4) new frame pose (world-from-camera)
+    channels_new: jax.Array,  # (C, H, W) new frame descriptor channels
+    frame_id: jax.Array,      # () global id of the new frame
+    slot: jax.Array,          # () window slot index of the new frame
+    offsets: jax.Array,       # (P, 2)
+    *,
+    min_score: float,
+    max_frame_distance: int,
+    border_margin: float = 1.0,
+) -> TrackResult:
+    """Score all table points against the new frame; set obs[:, slot]."""
+    t_cw = se3.se3_inverse(t_wc_new)
+    x_cam = se3.transform_points(t_cw, points.x_world)          # (N, 3)
+    uv, in_front = cam_mod.project(cam, x_cam)
+
+    sampled, in_bounds = patches_mod.extract_patches(channels_new, uv, offsets)
+    score = patches_mod.zncc(points.patch, sampled)
+
+    age = frame_id - points.last_seen
+    h, w = channels_new.shape[-2:]
+    in_img = (
+        (uv[:, 0] >= border_margin) & (uv[:, 0] <= w - 1 - border_margin)
+        & (uv[:, 1] >= border_margin) & (uv[:, 1] <= h - 1 - border_margin)
+    )
+    tracked = (
+        points.active
+        & in_front
+        & in_bounds
+        & in_img
+        & (score >= min_score)
+        & (age <= max_frame_distance)
+    )
+    obs = points.obs.at[:, slot].set(tracked)
+    last_seen = jnp.where(tracked, frame_id, points.last_seen)
+    return TrackResult(
+        points=points._replace(obs=obs, last_seen=last_seen),
+        uv=uv,
+        tracked=tracked,
+        score=score,
+    )
