@@ -1,0 +1,93 @@
+"""Benchmark: BA iterations/s on a KITTI-scale sliding-window problem.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Problem (BASELINE.json config-2 scale): 4096 points x 5-frame window x
+5x5 patches at full KITTI resolution (370 x 1226), LM forced to run a fixed
+iteration count (tolerances zeroed). The baseline divisor is the SAME solver
+on the host CPU backend — the reference publishes no numbers
+("published": {}), so per BASELINE.md the CPU measurement of the identical
+workload is the baseline our >=10x target is judged against.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+N_PTS = 4096
+W = 5
+H, WI = 370, 1226
+PATCH_RADIUS = 2
+ITERS = 30
+CPU_ITERS = 5  # CPU pass is slow; measure fewer iterations and scale
+
+
+def build(platform_device):
+    import jax
+    import jax.numpy as jnp
+
+    from photobundle_tpu.core import lm
+    from __graft_entry__ import _make_problem
+
+    cam, offsets, args = _make_problem(N_PTS, W, H, WI, PATCH_RADIUS, seed=1)
+
+    def solve(iters):
+        def fn(*a):
+            return lm.lm_solve(
+                cam, *a[:2], *a[2:6], a[6], a[7], offsets,
+                huber_delta=0.05, gradient_mode="sampled",
+                max_iterations=iters,
+                function_tolerance=0.0, parameter_tolerance=0.0,
+            )
+        return fn
+
+    args = jax.device_put(args, platform_device)
+    return solve, args
+
+
+def time_solve(device, iters, repeats=3):
+    import jax
+
+    solve, args = build(device)
+    fn = jax.jit(solve(iters))
+    out = fn(*args)           # compile + warmup
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    n_done = int(out[2].iterations)
+    return n_done / best, n_done, best
+
+
+def main():
+    import jax
+
+    accel = jax.devices()[0]
+    tpu_ips, tpu_n, tpu_t = time_solve(accel, ITERS)
+
+    vs_baseline = None
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        cpu_ips, _, _ = time_solve(cpu, CPU_ITERS, repeats=1)
+        vs_baseline = tpu_ips / cpu_ips
+    except Exception as e:  # no CPU backend — report TPU-only
+        print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+
+    record = {
+        "metric": "BA_iterations_per_s_kitti_scale_window",
+        "value": round(tpu_ips, 3),
+        "unit": "LM iterations/s (4096 pts x 5 frames x 5x5 patches, 370x1226)",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

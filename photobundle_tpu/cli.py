@@ -1,0 +1,121 @@
+"""App driver — the `photoba` executable of the reference (pb:src/photoba.cc,
+SURVEY.md 3.1): parse options, build dataset + engine, run the frame loop,
+write the refined trajectory.
+
+    python -m photobundle_tpu.cli --config configs/kitti_stereo.cfg \
+        [--output refined.txt] [key=value overrides...]
+
+Adds over the reference: structured JSONL solve records, per-phase timing
+report, and checkpoint/resume (per-window incremental trajectory dumps; a
+restarted run resumes after the last completed window — SURVEY.md 5.3/5.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .config import ConfigFile, PBAConfig
+from .core.engine import PhotometricBundleAdjustment
+from .io import kitti as kitti_mod
+from .io import trajectory as traj_mod
+from .utils import logging as log
+from .utils.timer import Timer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="photobundle-tpu",
+                                description="TPU-native photometric bundle adjustment")
+    p.add_argument("--config", required=True, help="path to .cfg file")
+    p.add_argument("--output", default="refined_poses.txt",
+                   help="output KITTI-format trajectory")
+    p.add_argument("--poses", default=None,
+                   help="initial VO trajectory (KITTI format); defaults to "
+                        "the dataset's ground-truth pose file")
+    p.add_argument("--log", default=None, help="JSONL solve-record path")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from an existing output/checkpoint")
+    p.add_argument("overrides", nargs="*",
+                   help="key=value config overrides (reference CLI behavior)")
+    return p
+
+
+def load_config(args) -> PBAConfig:
+    cfg_file = ConfigFile(args.config)
+    for ov in args.overrides:
+        key, _, value = ov.partition("=")
+        cfg_file.set(key.strip(), value.strip())
+    return PBAConfig.from_config_file(cfg_file)
+
+
+def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
+        output: str = "refined_poses.txt", jsonl_path: str | None = None,
+        resume: bool = False, progress: bool = True):
+    """The frame loop (SURVEY.md 3.1). Returns the refined Trajectory."""
+    timer = Timer()
+    h, w = dataset.image_shape
+    pba = PhotometricBundleAdjustment(dataset.camera, (h, w), cfg)
+
+    refined = traj_mod.Trajectory(init_traj.poses.copy(),
+                                  list(init_traj.frame_ids))
+    start = 0
+    ckpt = output + ".ckpt"
+    if resume and os.path.exists(ckpt):
+        with open(ckpt) as f:
+            start = int(f.read().strip())
+        log.info("resuming from frame %d", start)
+        # Windows overlapping the resume point are re-solved; the engine
+        # state rebuilds as frames [start - W + 1, start) are re-ingested.
+        start = max(0, start - cfg.slidingWindowSize + 1)
+
+    writer = log.JsonlWriter(jsonl_path) if jsonl_path else None
+    n = min(len(dataset), len(init_traj))
+    try:
+        for i in range(start, n):
+            with timer.time("dataset.get_frame"):
+                frame = dataset.get_frame(i)
+            with timer.time("engine.add_frame"):
+                result = pba.add_frame(frame.image, frame.depth,
+                                       init_traj.poses[i],
+                                       depth_valid=frame.depth_valid,
+                                       frame_id=i)
+            if result is not None:
+                refined.update(result.frame_ids, result.poses)
+                if writer:
+                    writer.write(log.window_record(result, {"frame": i}))
+                if progress:
+                    log.info("%s", result.message())
+                with timer.time("io.checkpoint"):
+                    traj_mod.write_poses_kitti(output, refined)
+                    with open(ckpt, "w") as f:
+                        f.write(str(i))
+    finally:
+        if writer:
+            writer.close()
+
+    traj_mod.write_poses_kitti(output, refined)
+    if os.path.exists(ckpt):
+        os.remove(ckpt)
+    log.info("timing report:\n%s", timer.report())
+    return refined
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args)
+    dataset = kitti_mod.create_dataset(cfg)
+    pose_file = args.poses or dataset.pose_file()
+    if not os.path.exists(pose_file):
+        log.fatal("initial pose file not found: %s", pose_file)
+    init_traj = traj_mod.load_poses_kitti(pose_file)
+    refined = run(cfg, dataset, init_traj, output=args.output,
+                  jsonl_path=args.log, resume=args.resume)
+    log.info("wrote %d refined poses to %s", len(refined), args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,7 +96,7 @@ class PBAConfig:
     maxNumPoints: int = 4096              # fixed point-table capacity N_max
     maxPointsPerFrame: int = 1024         # admission cap per new frame
     nonMaxSuppRadius: int = 1
-    minSaliency: float = 1.0              # saliency floor for selection
+    minSaliency: float = 0.01             # saliency floor (images are [0,1])
     maskBlockRadius: int = 1              # block masked around tracked points
     minScore: float = 0.75                # ZNCC visibility gate
     maxFrameDistance: int = 1             # max age (frames) for re-tracking
@@ -109,10 +109,25 @@ class PBAConfig:
     parameterTolerance: float = 1e-8      # step-norm stop
     gradientTolerance: float = 1e-10
     robustThreshold: float = 0.05         # Huber delta on patch residual norm
+    depthPriorWeight: float = 0.1         # inverse-depth prior strength on
+                                          # r = w*fx*b*(1/z - 1/z_seed)
+                                          # (disparity-pixel units): anchors
+                                          # the monocular scale gauge to the
+                                          # stereo seeds each window, so the
+                                          # sliding chain cannot compound
+                                          # scale drift. Keep small when
+                                          # stereo is noisy and parallax is
+                                          # strong (the photometric term then
+                                          # carries the information); raise to
+                                          # ~1 for weak-parallax sequences.
+                                          # 0 = reference-exact (no prior).
     initialLambda: float = 1e-4           # LM damping init
     minLambda: float = 1e-10
     maxLambda: float = 1e8
-    numFixedPoses: int = 1                # gauge fixing: freeze oldest pose(s)
+    numFixedPoses: int = 2                # gauge fixing: freeze oldest poses.
+                                          # (reference freezes 1; freezing 2
+                                          # pins rotation+translation AND the
+                                          # remaining scale DOF robustly)
     refineDepthOnly: bool = False         # optionally hold points' xy
     solverVerbose: bool = False
 

@@ -1,0 +1,2 @@
+from . import state, residuals, schur, lm, tracking, selection, engine
+from .engine import PhotometricBundleAdjustment, WindowResult

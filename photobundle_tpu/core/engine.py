@@ -1,0 +1,285 @@
+"""PhotometricBundleAdjustment — the sliding-window engine (reference L2).
+
+TPU-native counterpart of the reference's `PhotometricBundleAdjustment`
+class (pb:src/photobundle.h/.cc): `add_frame(image, depth, T_wc)` ingests a
+frame, tracks/culls/selects points, and when the window is full runs the LM
++ Schur solve and emits refined poses.
+
+Architecture (vs. the reference):
+- The reference mutates std::vector/circular_buffer state and assembles a
+  Ceres problem per window. Here ALL device state (point table, window ring)
+  is a static-shape pytree; `add_frame` runs exactly two jitted programs:
+  `_ingest` (descriptor build + push + track + cull + select) and, when the
+  window is full, `_optimize` (the whole LM solve as one XLA computation).
+- The host Python layer only moves camera frames in and refined poses out —
+  there are no per-point host round-trips.
+
+The frame loop itself stays on the host (it is inherently sequential and
+I/O-bound); everything per-frame is device-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PBAConfig
+from ..geometry.camera import Camera
+from ..image import descriptor as descriptor_mod
+from ..image import patches as patches_mod
+from ..image import pyramid as pyramid_mod
+from . import lm, selection, state, tracking
+
+
+@dataclass
+class WindowResult:
+    """Per-window solve record — the analog of the reference's nested
+    `Result` (initialCost/finalCost/iterations/message) enriched with the
+    per-iteration table Ceres prints (SURVEY.md section 5.5)."""
+
+    frame_ids: np.ndarray          # (W,) global frame ids in the window
+    poses: np.ndarray              # (W, 4, 4) refined world-from-camera
+    initial_cost: float = 0.0
+    final_cost: float = 0.0
+    iterations: int = 0
+    accepted_steps: int = 0
+    termination: str = ""
+    num_points: int = 0
+    num_residuals: int = 0
+    cost_log: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    lambda_log: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    step_log: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    accept_log: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+    solve_time_s: float = 0.0
+
+    def message(self) -> str:
+        return (
+            f"window {self.frame_ids.tolist()}: cost {self.initial_cost:.6g} -> "
+            f"{self.final_cost:.6g} in {self.iterations} iters "
+            f"({self.accepted_steps} accepted), {self.num_points} pts / "
+            f"{self.num_residuals} obs, {self.termination}"
+        )
+
+
+class PhotometricBundleAdjustment:
+    """Sliding-window photometric BA engine.
+
+    Usage (mirrors the reference driver, SURVEY.md 3.1):
+
+        pba = PhotometricBundleAdjustment(camera, (H, W), cfg)
+        for i, (image, depth, t_init) in enumerate(frames):
+            result = pba.add_frame(image, depth, t_init)
+            if result is not None:
+                trajectory[result.frame_ids] = result.poses
+    """
+
+    def __init__(self, camera: Camera, image_shape, cfg: PBAConfig,
+                 sharded_solver=None):
+        cfg.validate()
+        self.cfg = cfg
+        self.camera_full = camera
+        lvl = cfg.refinementLevel
+        self.level_scale = 0.5 ** lvl
+        self.camera = camera.scaled(self.level_scale) if lvl > 0 else camera
+        h, w = image_shape
+        self.image_shape = (h, w)
+        self.level_shape = (h // (2 ** lvl), w // (2 ** lvl))
+        self.offsets = patches_mod.patch_offsets(cfg.patchRadius)
+
+        # Depth-prior scale in disparity-pixel units (core/residuals.py):
+        # stereo noise is constant in inverse depth, sigma_q = sigma_d/(fx b).
+        # Monocular (baseline 0) falls back to an fx * 0.3 m virtual baseline.
+        fxb = float(self.camera.fx) * float(self.camera.baseline)
+        self._prior_scale = cfg.depthPriorWeight * max(fxb, 0.3 * float(self.camera.fx))
+
+        self.window = state.init_window(cfg, self.level_shape)
+        self.points = state.init_point_table(cfg)
+        self._frame_count = 0
+        self._sharded_solver = sharded_solver
+
+        self._ingest = jax.jit(self._ingest_impl, donate_argnums=(0, 1))
+        self._optimize = jax.jit(self._optimize_impl, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------ #
+    # jitted implementations
+    # ------------------------------------------------------------------ #
+    def _prepare_level(self, image, depth, depth_ok):
+        """Full-res image -> descriptor channels/grads/saliency + depth at
+        the refinement level."""
+        cfg = self.cfg
+        levels = pyramid_mod.build_pyramid(image, cfg.pyramidLevels)
+        img_l = levels[cfg.refinementLevel]
+        lvl = descriptor_mod.build_descriptor_level(
+            img_l, cfg.descriptor, cfg.sigmaPriorToCensusTransform, cfg.sigmaBitPlanes
+        )
+        s = 2 ** cfg.refinementLevel
+        depth_l = depth[::s, ::s]
+        depth_ok_l = depth_ok[::s, ::s]
+        return lvl, depth_l, depth_ok_l
+
+    def _ingest_impl(self, window, points, image, depth, depth_ok, t_wc, frame_id):
+        cfg = self.cfg
+        lvl, depth_l, ok_l = self._prepare_level(image, depth, depth_ok)
+        window, points = state.push_frame(
+            window, lvl.channels, lvl.grads, lvl.saliency, t_wc, frame_id,
+            depth_l, ok_l, points,
+        )
+        points = state.cull_points(points, window.frame_ids[0])
+        slot = window.count - 1
+
+        tr = tracking.track_into_frame(
+            points, self.camera, t_wc, lvl.channels, frame_id, slot,
+            self.offsets,
+            min_score=cfg.minScore,
+            max_frame_distance=cfg.maxFrameDistance,
+            border_margin=cfg.patchRadius + 1,
+        )
+        sel = selection.select_new_points(
+            tr.points, self.camera, t_wc, lvl.channels, lvl.saliency,
+            depth_l, ok_l, tr.uv, tr.tracked, frame_id, slot, self.offsets,
+            max_new=cfg.maxPointsPerFrame,
+            nms_radius=cfg.nonMaxSuppRadius,
+            min_saliency=cfg.minSaliency,
+            mask_radius=cfg.maskBlockRadius,
+            min_depth=cfg.minDepth,
+            max_depth=cfg.maxDepth,
+            border=cfg.patchRadius + 2,
+        )
+        diag = {
+            "tracked": jnp.sum(tr.tracked.astype(jnp.int32)),
+            "added": sel.num_added,
+            "active": sel.points.num_active(),
+        }
+        return window, sel.points, diag
+
+    def _optimize_impl(self, window, points):
+        cfg = self.cfg
+        w = cfg.slidingWindowSize
+        frozen = jnp.arange(w) < cfg.numFixedPoses
+        # Points need >= 2 window observations to constrain anything
+        # (reference: "for each ScenePoint p with >= 2 observations").
+        n_obs = jnp.sum(points.obs, axis=1)
+        point_valid = points.active & (n_obs >= 2)
+
+        # Each point's reference-frame slot in the current window (for the
+        # inverse-depth prior); -1 if the ref frame is not in the window.
+        ref_slot = jnp.argmax(
+            points.ref_frame[:, None] == window.frame_ids[None, :], axis=1
+        ).astype(jnp.int32)
+        in_window = jnp.any(points.ref_frame[:, None] == window.frame_ids[None, :], axis=1)
+        ref_slot = jnp.where(in_window, ref_slot, -1)
+        depth_prior = (
+            (ref_slot, points.inv_depth_seed, self._prior_scale)
+            if cfg.depthPriorWeight > 0 else None
+        )
+
+        t_wc, x_world, stats = lm.lm_solve(
+            self.camera,
+            window.t_wc,
+            points.x_world,
+            points.patch,
+            window.channels,
+            window.grads,
+            points.obs,
+            point_valid,
+            frozen,
+            self.offsets,
+            huber_delta=cfg.robustThreshold,
+            gradient_mode=cfg.gradientMode,
+            depth_prior=depth_prior,
+            max_iterations=cfg.maxIterations,
+            initial_lambda=cfg.initialLambda,
+            min_lambda=cfg.minLambda,
+            max_lambda=cfg.maxLambda,
+            function_tolerance=cfg.functionTolerance,
+            parameter_tolerance=cfg.parameterTolerance,
+        )
+        # Points excluded from the solve (fresh single-observation points)
+        # were positioned with their reference frame's PRE-solve pose; move
+        # them rigidly with that frame (X <- T_new T_old^{-1} X) so they stay
+        # consistent. Without this, every new frame injects stale-pose error
+        # into the next window and the sliding chain amplifies drift.
+        from ..geometry import se3 as se3_mod
+
+        delta = t_wc @ se3_mod.se3_inverse(window.t_wc)      # (W, 4, 4)
+        safe_slot = jnp.maximum(ref_slot, 0)
+        moved = se3_mod.transform_points(delta[safe_slot], x_world)
+        reanchor = points.active & (~point_valid) & (ref_slot >= 0)
+        x_world = jnp.where(reanchor[:, None], moved, x_world)
+
+        window = window._replace(t_wc=t_wc)
+        points = points._replace(x_world=x_world)
+        return window, points, stats, point_valid
+
+    # ------------------------------------------------------------------ #
+    # host API
+    # ------------------------------------------------------------------ #
+    def add_frame(self, image: np.ndarray, depth: np.ndarray,
+                  t_wc: np.ndarray, depth_valid: Optional[np.ndarray] = None,
+                  frame_id: Optional[int] = None) -> Optional[WindowResult]:
+        """Ingest one frame; returns a WindowResult when a solve ran.
+
+        image: (H, W) grayscale, any scale (normalized to [0, 1] internally).
+        depth: (H, W) metric depth; <= 0 marks invalid.
+        t_wc:  (4, 4) initial world-from-camera pose (e.g. from VO).
+        frame_id: global frame index (defaults to an internal counter; pass
+            the dataset index explicitly when resuming mid-sequence so the
+            emitted WindowResult.frame_ids address the right trajectory rows).
+        """
+        import time
+
+        image = np.asarray(image, np.float32)
+        if image.max() > 2.0:  # 8-bit input
+            image = image / 255.0
+        depth = np.asarray(depth, np.float32)
+        if depth_valid is None:
+            depth_valid = depth > 0
+        if frame_id is None:
+            frame_id = self._frame_count
+        self._frame_count = frame_id + 1
+
+        self.window, self.points, diag = self._ingest(
+            self.window, self.points,
+            jnp.asarray(image), jnp.asarray(depth), jnp.asarray(depth_valid),
+            jnp.asarray(t_wc, jnp.float32), jnp.asarray(frame_id, jnp.int32),
+        )
+
+        if int(self.window.count) < self.cfg.slidingWindowSize:
+            return None
+
+        t0 = time.perf_counter()
+        if self._sharded_solver is not None:
+            self.window, self.points, stats, point_valid = self._sharded_solver(
+                self.window, self.points)
+        else:
+            self.window, self.points, stats, point_valid = self._optimize(
+                self.window, self.points)
+        stats = jax.device_get(stats)
+        dt = time.perf_counter() - t0
+
+        it = int(stats.iterations)
+        return WindowResult(
+            frame_ids=np.asarray(self.window.frame_ids),
+            poses=np.asarray(self.window.t_wc),
+            initial_cost=float(stats.initial_cost),
+            final_cost=float(stats.final_cost),
+            iterations=it,
+            accepted_steps=int(stats.accepted_steps),
+            termination=lm.TERMINATION_NAMES.get(int(stats.termination), "?"),
+            num_points=int(np.asarray(jax.device_get(point_valid)).sum()),
+            num_residuals=int(stats.n_residuals),
+            cost_log=np.asarray(stats.cost_log)[:it],
+            lambda_log=np.asarray(stats.lambda_log)[:it],
+            step_log=np.asarray(stats.step_log)[:it],
+            accept_log=np.asarray(stats.accept_log)[:it],
+            solve_time_s=dt,
+        )
+
+    @property
+    def num_active_points(self) -> int:
+        return int(self.points.num_active())

@@ -73,6 +73,7 @@ def lm_solve(
     *,
     huber_delta: float,
     gradient_mode: str = "sampled",
+    depth_prior: tuple | None = None,
     max_iterations: int = 50,
     initial_lambda: float = 1e-4,
     min_lambda: float = 1e-10,
@@ -95,14 +96,16 @@ def lm_solve(
 
     def full_cost(t, x):
         res = evaluate(cam, t, x, patch, channels, grads, obs_mask, offsets,
-                       huber_delta, gradient_mode, with_jacobians=False)
+                       huber_delta, gradient_mode, with_jacobians=False,
+                       depth_prior=depth_prior)
         return reduce_fn(res.cost), reduce_fn(res.n_residuals)
 
     init_cost, n_res = full_cost(t_wc, x_world)
 
     def body(st: _LoopState) -> _LoopState:
         res = evaluate(cam, st.t_wc, st.x_world, patch, channels, grads,
-                       obs_mask, offsets, huber_delta, gradient_mode)
+                       obs_mask, offsets, huber_delta, gradient_mode,
+                       depth_prior=depth_prior)
         eq = schur.build_normal_equations(res)
         # Cross-shard reduction of pose-side blocks (points stay local).
         eq = eq._replace(hcc=reduce_fn(eq.hcc), bc=reduce_fn(eq.bc))

@@ -31,6 +31,22 @@ local parameterization T <- T @ exp(xi) (geometry/se3.py):
 
 Robustness: Huber loss on the per-observation residual norm, folded in as
 IRLS whitening sqrt(w) (reference: ceres::HuberLoss(robustThreshold)).
+
+Inverse-depth prior (improvement over the reference): an optional extra
+residual row per (point, reference-frame) observation,
+
+    r_prior = w_d * s * (1/z_ref(X, T_ref) - q_seed),   s = fx * baseline
+
+pulling each point's INVERSE depth in its reference frame toward its stereo
+seed. The scale s converts to disparity-pixel units: stereo disparity noise
+is approximately constant in disparity, hence constant in inverse depth
+(sigma_q = sigma_d / (fx b)) — so this weighting is statistically calibrated
+(a z-ratio prior would overweight far points, whose seeds are worst).
+The reference relies on a frozen first pose + LM damping to hold the
+monocular scale gauge, which compounds scale drift across sliding windows;
+the prior anchors scale to stereo *per window* with no compounding. It is
+appended as one extra pseudo-pixel of the residual tensor (D -> D+1), so
+the Schur/LM machinery is untouched. Disabled when weight == 0.
 """
 
 from __future__ import annotations
@@ -111,7 +127,7 @@ def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str):
 def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
              offsets, huber_delta: float, gradient_mode: str = "sampled",
              with_jacobians: bool = True,
-             point_scale: jax.Array | None = None) -> Residuals:
+             depth_prior: tuple | None = None) -> Residuals:
     """Evaluate all (point, window-frame) photometric residuals at once.
 
     Args:
@@ -124,7 +140,9 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
       offsets: (P, 2) patch offset grid.
       huber_delta: Huber threshold on the per-observation residual norm.
       with_jacobians: False for the cheap cost-only pass (LM candidate test).
-      point_scale: optional (N,) per-point whitening (unused by default).
+      depth_prior: optional (ref_slot (N,) int32, inv_depth_seed (N,),
+        weight float) — appends the inverse-depth prior pseudo-pixel on each
+        point's reference-frame observation (see module docstring).
 
     Returns Residuals with whitened r/J (zeros where invalid).
     """
@@ -132,8 +150,9 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
     c = patch.shape[1]
     p = patch.shape[2]
     d = c * p
+    use_prior = depth_prior is not None and depth_prior[2] > 0.0
 
-    def per_frame(t_wc_f, channels_f, grads_f, obs_f):
+    def per_frame(f, t_wc_f, channels_f, grads_f, obs_f):
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
         s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode)
         valid = obs_f & in_front & in_bounds              # (N,)
@@ -144,11 +163,37 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
             j = g_centered @ a                            # (N, D, 9)
         else:
             j = jnp.zeros((n, d, 9), r.dtype)
+        if use_prior:
+            ref_slot, q_seed, wd = depth_prior
+            z = jnp.maximum(y[:, 2], 1e-6)
+            is_ref = (ref_slot == f) & valid
+            m = is_ref.astype(r.dtype)
+            # r_prior = wd * (1/z - q_seed), wd already includes the fx*b
+            # disparity-unit scale (see engine): constant inverse-depth
+            # weighting, matching stereo noise statistics.
+            r_p = wd * (1.0 / z - q_seed) * m             # (N,)
+            r = jnp.concatenate([r, r_p[:, None]], axis=1)
+            if with_jacobians:
+                # d r_p / d z = -wd / z^2 ; chain with dy/dpose = [-I|hat(y)],
+                # dy/dX = R_cw (rebuild the e_z row directly).
+                coef = (-wd / (z * z)) * m                # (N,)
+                t_cw = se3.se3_inverse(t_wc_f)
+                r_cw = t_cw[:3, :3]
+                dz_dpose = jnp.concatenate(
+                    [jnp.broadcast_to(-jnp.eye(3, dtype=r.dtype)[2], (n, 3)),
+                     se3.hat(y)[:, 2, :]], axis=-1)       # (N, 6)
+                dz_dx = jnp.broadcast_to(r_cw[2], (n, 3))  # (N, 3)
+                j_p = coef[:, None] * jnp.concatenate([dz_dpose, dz_dx], -1)
+                j = jnp.concatenate([j, j_p[:, None, :]], axis=1)
+            else:
+                j = jnp.concatenate([j, jnp.zeros((n, 1, 9), r.dtype)], axis=1)
         return r, j, valid
 
-    r, j, valid = jax.vmap(per_frame, in_axes=(0, 0, 0, 1), out_axes=(1, 1, 1))(
-        t_wc, channels, grads, obs_mask
-    )  # r (N, W, D), j (N, W, D, 9), valid (N, W)
+    r, j, valid = jax.vmap(per_frame, in_axes=(0, 0, 0, 0, 1), out_axes=(1, 1, 1))(
+        jnp.arange(w, dtype=jnp.int32), t_wc, channels, grads, obs_mask
+    )  # r (N, W, D'), j (N, W, D', 9), valid (N, W)
+    if use_prior:
+        d = d + 1
 
     vf = valid.astype(r.dtype)
     r = r * vf[..., None]
@@ -170,8 +215,10 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
 
 
 def cost_only(cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
-              huber_delta: float, gradient_mode: str = "sampled"):
+              huber_delta: float, gradient_mode: str = "sampled",
+              depth_prior: tuple | None = None):
     """Robust cost without Jacobians — used for LM step acceptance."""
     res = evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
-                   offsets, huber_delta, gradient_mode, with_jacobians=False)
+                   offsets, huber_delta, gradient_mode, with_jacobians=False,
+                   depth_prior=depth_prior)
     return res.cost, res.n_residuals

@@ -47,6 +47,7 @@ class PointTable(NamedTuple):
     last_seen: jax.Array
     active: jax.Array
     obs: jax.Array
+    inv_depth_seed: jax.Array  # (N,) 1/z at creation (stereo prior anchor)
 
     @property
     def capacity(self) -> int:
@@ -86,6 +87,7 @@ def init_point_table(cfg: PBAConfig, dtype=jnp.float32) -> PointTable:
         last_seen=jnp.full((n,), -1, jnp.int32),
         active=jnp.zeros((n,), bool),
         obs=jnp.zeros((n, w), bool),
+        inv_depth_seed=jnp.full((n,), 1.0, dtype),
     )
 
 

@@ -1,0 +1,96 @@
+"""TPU-native stereo block matching (disparity estimation).
+
+Replaces the reference's OpenCV `cv::StereoBM` / `cv::StereoSGBM` call in the
+dataset layer (pb:src/dataset.cc `StereoAlgorithm::run`). The reference runs
+SAD block matching on the CPU per frame; here the whole cost volume is one
+fused XLA program: for each candidate disparity, a shifted absolute
+difference, box-filtered with a separable cumulative-sum window — a
+(D, H, W) tensor pipeline that maps cleanly onto the VPU with zero
+data-dependent shapes. Winner-take-all + sub-pixel parabola refinement +
+uniqueness/texture gating reproduce StereoBM's postprocessing semantics.
+
+Depth from disparity stays in geometry/camera.py (`disparity_to_depth`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _box_filter(img: jax.Array, radius: int) -> jax.Array:
+    """Separable box sum over (2r+1)^2 windows, edge-padded. (..., H, W)."""
+    k = 2 * radius + 1
+    p = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(radius, radius), (radius, radius)], mode="edge")
+    # cumsum trick: sum over window = cs[i + k] - cs[i]
+    cs = jnp.cumsum(p, axis=-1)
+    cs = jnp.pad(cs, [(0, 0)] * (img.ndim - 1) + [(1, 0)])
+    out = cs[..., k:] - cs[..., :-k]
+    cs = jnp.cumsum(out, axis=-2)
+    cs = jnp.pad(cs, [(0, 0)] * (img.ndim - 2) + [(1, 0), (0, 0)])
+    return cs[..., k:, :] - cs[..., :-k, :]
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities", "min_disparity",
+                                             "sad_radius"))
+def block_match(
+    left: jax.Array,
+    right: jax.Array,
+    num_disparities: int = 64,
+    min_disparity: int = 1,
+    sad_radius: int = 4,
+    uniqueness_ratio: float = 0.97,
+    texture_threshold: float = 0.02,
+) -> tuple[jax.Array, jax.Array]:
+    """SAD block matching. left/right: (H, W) in [0, 1].
+
+    Returns (disparity (H, W) float32 with sub-pixel refinement,
+             valid (H, W) bool).
+    """
+    h, w = left.shape
+    disps = jnp.arange(min_disparity, min_disparity + num_disparities)
+
+    def sad_at(d):
+        shifted = jnp.roll(right, d, axis=1)
+        # Columns x < d have no valid correspondence; mark with +inf cost.
+        ad = jnp.abs(left - shifted)
+        cost = _box_filter(ad, sad_radius)
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        return jnp.where(col >= d + sad_radius, cost, jnp.inf)
+
+    cost = jax.vmap(sad_at)(disps)                     # (D, H, W)
+    best = jnp.argmin(cost, axis=0)                    # (H, W)
+    cmin = jnp.min(cost, axis=0)
+
+    # Sub-pixel parabola on (c[-1], c0, c[+1]).
+    d0 = jnp.clip(best, 1, num_disparities - 2)
+    take = lambda idx: jnp.take_along_axis(cost, idx[None], axis=0)[0]
+    cm = take(d0 - 1)
+    c0 = take(d0)
+    cp = take(d0 + 1)
+    # Neighbors can be +inf (border columns); a finite parabola needs all 3.
+    all_finite = jnp.isfinite(cm) & jnp.isfinite(c0) & jnp.isfinite(cp)
+    denom = jnp.where(all_finite, cm - 2 * c0 + cp, 1.0)
+    delta = jnp.where(all_finite & (jnp.abs(denom) > 1e-9),
+                      0.5 * (cm - cp) / jnp.where(denom == 0, 1.0, denom), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    disparity = (best + min_disparity).astype(jnp.float32) + jnp.where(best == d0, delta, 0.0)
+
+    # Uniqueness: best cost must beat the runner-up (excluding neighbors).
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
+    masked = jnp.where(jnp.abs(d_idx - best[None]) <= 1, jnp.inf, cost)
+    second = jnp.min(masked, axis=0)
+    unique = cmin <= uniqueness_ratio * second
+
+    # Texture: reject windows with too little intensity variation.
+    k = 2 * sad_radius + 1
+    n_px = float(k * k)
+    mean = _box_filter(left, sad_radius) / n_px
+    var = _box_filter(left * left, sad_radius) / n_px - mean * mean
+    textured = jnp.sqrt(jnp.maximum(var, 0.0)) > texture_threshold
+
+    at_edge = (best == 0) | (best == num_disparities - 1)
+    valid = jnp.isfinite(cmin) & unique & textured & ~at_edge
+    return jnp.where(valid, disparity, 0.0), valid

@@ -1,0 +1,2 @@
+from . import timer, logging
+from .timer import Timer, time_code

@@ -1,0 +1,136 @@
+"""Synthetic textured-sphere scene for end-to-end and solver tests.
+
+A smooth analytic 3D texture lives on a large sphere in front of the
+cameras; views are rendered by exact ray-sphere intersection + closed-form
+texture evaluation, so multi-view photometric consistency holds to float
+precision and ground-truth depth is known — the golden-test setup of
+SURVEY.md section 4 ("synthetic scene where PBA must recover ground-truth
+poses from perturbed initialization"). A sphere (unlike a plane) gives
+depth variation and avoids the classic planar-scene BA degeneracy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from photobundle_tpu.geometry import se3
+from photobundle_tpu.geometry.camera import Camera
+
+SPHERE_C = np.array([0.0, 0.0, 10.0])
+SPHERE_R = 6.0
+
+
+def make_texture(rng, n_waves=64, min_wavelength=0.4, max_wavelength=2.5):
+    """Analytic C-infinity 3D texture: random mixture of 3D sinusoids.
+
+    Smooth and exactly evaluable at any world point, so rendered views are
+    photometrically consistent to float precision and the photometric
+    optimum IS the ground-truth geometry. At fx=100 and depth ~4-7 m one
+    pixel spans ~0.04-0.07 m, so features span ~10-80 px.
+    Returns (freqs (K, 3), phases (K,), amps (K,))."""
+    wl = rng.uniform(min_wavelength, max_wavelength, size=n_waves)
+    d = rng.standard_normal((n_waves, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    freqs = (2 * np.pi / wl)[:, None] * d
+    phases = rng.uniform(0, 2 * np.pi, size=n_waves)
+    amps = rng.uniform(0.3, 1.0, size=n_waves) / np.sqrt(n_waves)
+    return freqs.astype(np.float64), phases.astype(np.float64), amps.astype(np.float64)
+
+
+def sample_texture3d(tex, pts):
+    """World points (..., 3) -> texture value in ~[0, 1]."""
+    freqs, phases, amps = tex
+    phase = np.asarray(pts, np.float64) @ freqs.T + phases  # (..., K)
+    return (0.5 + 0.5 * np.tanh(np.sin(phase) @ amps)).astype(np.float32)
+
+
+def render_view(tex, cam: Camera, t_wc: np.ndarray, shape):
+    """Render image + ground-truth z-depth for camera pose t_wc (4x4) by
+    exact ray-sphere intersection (front surface)."""
+    h, w = shape
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    fx, fy, cx, cy = float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)
+    d_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], axis=-1
+    )
+    r = t_wc[:3, :3].astype(np.float64)
+    o = t_wc[:3, 3].astype(np.float64)
+    d_world = d_cam @ r.T                       # (H, W, 3), unnormalized
+    oc = o - SPHERE_C
+    a = (d_world ** 2).sum(-1)
+    b = 2.0 * (d_world @ oc)
+    c = oc @ oc - SPHERE_R ** 2
+    disc = np.maximum(b * b - 4 * a * c, 0.0)
+    t = (-b - np.sqrt(disc)) / (2 * a)          # front intersection
+    x_world = o + t[..., None] * d_world
+    img = sample_texture3d(tex, x_world)
+    depth = (t * d_cam[..., 2]).astype(np.float32)  # z-depth in camera frame
+    return img, depth
+
+
+def make_sequence(rng, n_frames=6, shape=(96, 144), motion_scale=0.1,
+                  rot_scale=0.002):
+    """Ground-truth camera track + rendered frames.
+
+    Returns (cam, images, depths, poses_gt) — poses are world-from-camera.
+    Motion is a gentle forward+lateral walk with small rotations, keeping
+    the plane in view.
+    """
+    h, w = shape
+    cam = Camera.create(fx=100.0, fy=100.0, cx=w / 2 - 0.5, cy=h / 2 - 0.5, baseline=0.2)
+    tex = make_texture(rng)
+    poses, images, depths = [], [], []
+    t_wc = np.eye(4, dtype=np.float32)
+    for i in range(n_frames):
+        poses.append(t_wc.copy())
+        img, depth = render_view(tex, cam, t_wc, shape)
+        images.append(img)
+        depths.append(depth)
+        xi = np.concatenate([
+            rng.standard_normal(3) * motion_scale + np.array([motion_scale, 0, 0]),
+            rng.standard_normal(3) * rot_scale,
+        ]).astype(np.float32)
+        step = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+        t_wc = (t_wc @ step).astype(np.float32)
+    return cam, images, depths, np.stack(poses)
+
+
+def perturb_poses(rng, poses, trans_sigma=0.01, rot_sigma=0.002, keep_first=1):
+    """Right-perturb each pose by an independent random twist (iid jitter)."""
+    out = poses.copy()
+    for i in range(keep_first, len(poses)):
+        xi = np.concatenate([
+            rng.standard_normal(3) * trans_sigma,
+            rng.standard_normal(3) * rot_sigma,
+        ]).astype(np.float32)
+        out[i] = poses[i] @ np.asarray(se3.se3_exp(jnp.asarray(xi)))
+    return out
+
+
+def drift_poses(rng, poses, trans_sigma=0.01, rot_sigma=0.002, keep_first=1):
+    """VO-like error: a random-walk drift composed into the trajectory —
+    each frame's relative motion carries a small error that accumulates,
+    which is how real visual odometry degrades (and what sliding-window
+    photometric refinement is built to correct)."""
+    out = poses.copy()
+    err = np.eye(4, dtype=np.float64)
+    for i in range(keep_first, len(poses)):
+        xi = np.concatenate([
+            rng.standard_normal(3) * trans_sigma,
+            rng.standard_normal(3) * rot_sigma,
+        ]).astype(np.float32)
+        err = err @ np.asarray(se3.se3_exp(jnp.asarray(xi)), np.float64)
+        out[i] = (err @ poses[i].astype(np.float64)).astype(poses.dtype)
+    return out
+
+
+def pose_errors(poses_a, poses_b):
+    """(translation RMSE, rotation RMSE in radians) between pose arrays."""
+    dt = poses_a[:, :3, 3] - poses_b[:, :3, 3]
+    t_rmse = float(np.sqrt((dt ** 2).sum(-1).mean()))
+    angles = []
+    for a, b in zip(poses_a, poses_b):
+        dr = a[:3, :3].T @ b[:3, :3]
+        c = np.clip((np.trace(dr) - 1) / 2, -1, 1)
+        angles.append(np.arccos(c))
+    r_rmse = float(np.sqrt(np.mean(np.square(angles))))
+    return t_rmse, r_rmse

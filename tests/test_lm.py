@@ -1,0 +1,137 @@
+"""LM solver tests: convergence on synthetic problems, gauge handling,
+monotone accepted cost, termination codes.
+
+Test-design notes (hard-won, keep in mind when editing):
+- Points must span the FULL image: photometric BA's pose observability
+  collapses with narrow point spreads, and the (systematic, smooth)
+  bilinear-interpolation error field then drags the minimum away from
+  ground truth along the near-null directions.
+- TWO poses are frozen (numFixedPoses=2-style) to pin the monocular scale
+  gauge; with one frozen pose, scene scaling about that camera's center is
+  an exact cost null space.
+- Initial perturbations correspond to ~1-5 px reprojection error (VO-like);
+  sub-noise-floor perturbations are unrecoverable by construction.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photobundle_tpu.core import lm
+from photobundle_tpu.geometry import se3
+
+from synthetic import perturb_poses, pose_errors
+from test_residuals import setup_problem
+
+
+def run_lm(rng, perturb_points=0.0, perturb_pose=0.0, n_pts=128, w=5,
+           max_iterations=40, n_frozen=2, radius=3, **kw):
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=n_pts, w=w,
+                                                         radius=radius)
+    poses0 = np.asarray(t_wc)
+    x0 = np.asarray(x)
+    t_init = jnp.asarray(perturb_poses(rng, poses0, perturb_pose,
+                                       perturb_pose / 5, keep_first=n_frozen))
+    x_init = jnp.asarray(x0 + rng.standard_normal(x0.shape).astype(np.float32) * perturb_points)
+    frozen = jnp.asarray([True] * n_frozen + [False] * (w - n_frozen))
+    t_ref, x_ref, stats = lm.lm_solve(
+        cam, t_init, x_init, patch, ch, g, obs,
+        jnp.ones((n_pts,), bool), frozen, off,
+        huber_delta=1e9, gradient_mode="sampled",
+        max_iterations=max_iterations, **kw,
+    )
+    return (poses0, x0, np.asarray(t_init), np.asarray(x_init),
+            np.asarray(t_ref), np.asarray(x_ref), jax.device_get(stats))
+
+
+def test_lm_reduces_cost(rng):
+    _, _, _, _, _, _, stats = run_lm(rng, perturb_points=0.01, perturb_pose=0.02)
+    assert stats.final_cost < 0.2 * stats.initial_cost
+    assert stats.accepted_steps >= 1
+
+
+def test_lm_recovers_poses(rng):
+    """From VO-like perturbed poses, LM must pull poses back toward ground
+    truth (the golden synthetic test of SURVEY.md section 4)."""
+    gt, x_gt, t_init, x_init, t_ref, x_ref, stats = run_lm(
+        rng, perturb_points=0.0, perturb_pose=0.05)
+    t_err0, r_err0 = pose_errors(t_init, gt)
+    t_err1, r_err1 = pose_errors(t_ref, gt)
+    assert t_err1 < 0.25 * t_err0, (t_err0, t_err1)
+    assert r_err1 < 0.25 * r_err0, (r_err0, r_err1)
+
+
+def test_lm_recovers_points_and_poses_jointly(rng):
+    gt, x_gt, t_init, x_init, t_ref, x_ref, stats = run_lm(
+        rng, perturb_points=0.01, perturb_pose=0.03)
+    t_err0, _ = pose_errors(t_init, gt)
+    t_err1, _ = pose_errors(t_ref, gt)
+    assert t_err1 < 0.5 * t_err0, (t_err0, t_err1)
+    # Point depth is weakly observable along rays; require only that points
+    # don't blow up while poses recover.
+    x_err0 = float(np.abs(x_init - x_gt).mean())
+    x_err1 = float(np.abs(x_ref - x_gt).mean())
+    assert x_err1 < 2.0 * x_err0, (x_err0, x_err1)
+
+
+def test_lm_accepted_cost_monotone(rng):
+    """Property test (SURVEY.md section 4): cost never increases on accepted
+    steps."""
+    _, _, _, _, _, _, stats = run_lm(rng, perturb_points=0.01, perturb_pose=0.02,
+                                     n_pts=48)
+    costs = stats.cost_log[~np.isnan(stats.cost_log)]
+    assert (np.diff(costs) <= 1e-6).all()
+
+
+def test_lm_gauge_frozen_pose_unchanged(rng):
+    gt, _, t_init, _, t_ref, _, _ = run_lm(rng, perturb_points=0.01,
+                                           perturb_pose=0.02, n_pts=48)
+    np.testing.assert_allclose(t_ref[0], t_init[0], atol=1e-7)
+    np.testing.assert_allclose(t_ref[1], t_init[1], atol=1e-7)
+
+
+def test_lm_terminates_with_valid_code(rng):
+    _, _, _, _, _, _, stats = run_lm(rng, perturb_points=0.0, perturb_pose=0.0,
+                                     n_pts=48, max_iterations=25)
+    assert int(stats.termination) in (1, 2, 3, 4)
+    assert stats.final_cost <= stats.initial_cost + 1e-9
+
+
+def test_lm_jit_compiles_once(rng):
+    """The whole solve must be traceable (no data-dependent Python flow)."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=8, w=3)
+    frozen = jnp.asarray([True, True, False])
+
+    @jax.jit
+    def solve(t, xx):
+        return lm.lm_solve(cam, t, xx, patch, ch, g, obs,
+                           jnp.ones((8,), bool), frozen, off,
+                           huber_delta=1e9, max_iterations=5)
+
+    t1, x1, s1 = solve(t_wc, x)
+    t2, x2, s2 = solve(t_wc + 0.0, x + 0.001)
+    assert np.isfinite(float(s1.final_cost)) and np.isfinite(float(s2.final_cost))
+
+
+def test_lm_gauge_invariance_of_relative_poses(rng):
+    """Applying a global rigid transform to all inputs must not change the
+    *relative* refined poses (gauge invariance; SURVEY.md section 4)."""
+    n_pts, w = 48, 4
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=n_pts, w=w)
+    rng2 = np.random.default_rng(7)
+    t_init = jnp.asarray(perturb_poses(rng2, np.asarray(t_wc), 0.01, 0.002,
+                                       keep_first=2))
+    x_init = x + 0.005
+    frozen = jnp.asarray([True, True, False, False])
+
+    kw = dict(huber_delta=1e9, max_iterations=15)
+    t_a, x_a, _ = lm.lm_solve(cam, t_init, x_init, patch, ch, g, obs,
+                              jnp.ones((n_pts,), bool), frozen, off, **kw)
+
+    g_xf = jnp.asarray(se3.se3_exp(jnp.asarray([0.3, -0.2, 0.1, 0.05, 0.02, -0.04])))
+    t_b, x_b, _ = lm.lm_solve(cam, g_xf @ t_init, se3.transform_points(g_xf, x_init),
+                              patch, ch, g, obs, jnp.ones((n_pts,), bool), frozen, off, **kw)
+
+    rel_a = np.asarray(se3.se3_inverse(t_a[0]) @ t_a[3])
+    rel_b = np.asarray(se3.se3_inverse(t_b[0]) @ t_b[3])
+    np.testing.assert_allclose(rel_a, rel_b, atol=5e-4)

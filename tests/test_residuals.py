@@ -1,0 +1,143 @@
+"""Residual/Jacobian correctness: analytic J vs jax autodiff (the SURVEY.md
+'hard part': must match jax.grad through the interpolation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photobundle_tpu.core import residuals as res_mod
+from photobundle_tpu.geometry import se3
+from photobundle_tpu.geometry.camera import Camera
+from photobundle_tpu.image import interp, patches
+
+from synthetic import make_sequence
+
+
+def setup_problem(rng, n_pts=12, w=3, radius=2, shape=(96, 144)):
+    """Build a (points, frames, images) problem on the synthetic sphere.
+
+    Points spread across the FULL image: pose observability demands wide
+    FOV coverage (narrow point spreads leave near-null pose directions that
+    interpolation bias exploits — found empirically, see tests/test_lm.py).
+    """
+    cam, images, depths, poses = make_sequence(rng, n_frames=w, shape=shape)
+    offsets = patches.patch_offsets(radius)
+    channels = jnp.asarray(np.stack(images))[:, None]            # (W, 1, H, Wi)
+    gx, gy = interp.image_gradients(channels)
+    grads = jnp.stack([gx, gy], axis=-1)
+
+    # Points: backproject full-image pixels of frame 0 with true depth
+    # (margin covers patch + per-frame optical flow over the window).
+    h, wi = images[0].shape
+    uv = rng.uniform([18, 18], [wi - 18, h - 18], size=(n_pts, 2)).astype(np.float32)
+    z = np.stack([depths[0][int(v), int(u)] for u, v in uv])
+    from photobundle_tpu.geometry import camera as cam_mod
+
+    x_cam = cam_mod.backproject(cam, jnp.asarray(np.floor(uv)), jnp.asarray(z))
+    x_world = se3.transform_points(jnp.asarray(poses[0]), x_cam)
+
+    patch, ok = patches.extract_patches(channels[0], jnp.asarray(np.floor(uv)), offsets)
+    patch = patches.mean_normalize(patch)
+    assert bool(jnp.all(ok))
+
+    obs = jnp.ones((n_pts, w), bool)
+    t_wc = jnp.asarray(poses)
+    return cam, t_wc, x_world, patch, channels, grads, obs, offsets
+
+
+def test_forward_residual_near_zero_at_ground_truth(rng):
+    """At ground-truth poses/points the photometric residual is tiny."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng)
+    r = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                         huber_delta=1e9, gradient_mode="exact")
+    assert bool(jnp.all(r.valid))
+    # Rendering is exact on frame 0 (patch source); other frames see the
+    # same plane so residuals are interpolation error only.
+    rms = float(jnp.sqrt(jnp.mean(r.r ** 2)))
+    assert rms < 0.02, rms
+
+
+def test_jacobians_match_autodiff(rng):
+    """Analytic (factored G @ A) Jacobians == jax.jacfwd through the full
+    residual, in 'exact' gradient mode, to ~1e-5."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=6)
+    out = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                           huber_delta=1e9, gradient_mode="exact")
+
+    def residual_fn(xi_all, x_all):
+        t = se3.retract_right(t_wc, xi_all)            # (W, 4, 4)
+        r = res_mod.evaluate(cam, t, x_all, patch, ch, g, obs, off,
+                             huber_delta=1e9, gradient_mode="exact",
+                             with_jacobians=False)
+        return r.r                                      # (N, W, D)
+
+    w = t_wc.shape[0]
+    xi0 = jnp.zeros((w, 6))
+    j_pose_auto = jax.jacfwd(residual_fn, argnums=0)(xi0, x)   # (N, W, D, W, 6)
+    j_point_auto = jax.jacfwd(residual_fn, argnums=1)(xi0, x)  # (N, W, D, N, 3)
+
+    n, _, d = out.r.shape
+    # Extract the block-diagonal entries: residual (p, f) depends only on
+    # pose f and point p.
+    jp_auto = np.stack([np.asarray(j_pose_auto[:, f, :, f, :]) for f in range(w)], 1)
+    jx_auto = np.stack([np.asarray(j_point_auto[p, :, :, p, :]) for p in range(n)], 0)
+
+    np.testing.assert_allclose(np.asarray(out.j_pose), jp_auto, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.j_point), jx_auto, atol=2e-4, rtol=1e-3)
+
+    # And the cross blocks of autodiff are exactly zero (sparsity pattern).
+    for f in range(w):
+        for g2 in range(w):
+            if f != g2:
+                assert float(np.abs(np.asarray(j_pose_auto[:, f, :, g2, :])).max()) == 0.0
+
+
+def test_huber_whitening(rng):
+    """With a small delta, large residual blocks are downweighted so that
+    ||r_whitened||^2 <= delta * ||r_raw|| asymptotically."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng)
+    # Perturb points to create large residuals.
+    x_bad = x + 0.05
+    big = res_mod.evaluate(cam, t_wc, x_bad, patch, ch, g, obs, off,
+                           huber_delta=1e9, gradient_mode="exact")
+    small = res_mod.evaluate(cam, t_wc, x_bad, patch, ch, g, obs, off,
+                             huber_delta=1e-3, gradient_mode="exact")
+    assert float(small.cost) < float(big.cost)
+    n_big = np.asarray(jnp.sum(big.r ** 2, axis=-1))
+    n_small = np.asarray(jnp.sum(small.r ** 2, axis=-1))
+    assert (n_small <= n_big + 1e-9).all()
+
+
+def test_cost_matches_residuals(rng):
+    """With huge delta (no robustness), cost == 0.5 * sum r^2."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng)
+    out = res_mod.evaluate(cam, t_wc, x + 0.01, patch, ch, g, obs, off,
+                           huber_delta=1e9, gradient_mode="exact")
+    np.testing.assert_allclose(float(out.cost), 0.5 * float(jnp.sum(out.r ** 2)),
+                               rtol=1e-5)
+
+
+def test_invalid_observations_zeroed(rng):
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng)
+    obs = obs.at[0, :].set(False)
+    out = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                           huber_delta=1e9, gradient_mode="exact")
+    assert float(jnp.abs(out.r[0]).max()) == 0.0
+    assert float(jnp.abs(out.j_pose[0]).max()) == 0.0
+    assert not bool(out.valid[0].any())
+
+
+def test_sampled_mode_close_to_exact(rng):
+    """'sampled' gradients (smoothed) agree with 'exact' to first order on
+    smooth images — sanity that the default engine mode is well-scaled."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng)
+    a = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                         huber_delta=1e9, gradient_mode="exact")
+    b = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                         huber_delta=1e9, gradient_mode="sampled")
+    np.testing.assert_allclose(np.asarray(a.r), np.asarray(b.r), atol=1e-6)
+    # Gradients differ by interpolation scheme but should correlate strongly.
+    ja = np.asarray(a.j_pose).reshape(-1)
+    jb = np.asarray(b.j_pose).reshape(-1)
+    corr = np.corrcoef(ja, jb)[0, 1]
+    assert corr > 0.85, corr

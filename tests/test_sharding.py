@@ -1,0 +1,90 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY.md section 4:
+'distributed without a cluster'): the sharded LM solve must match the
+single-device solve numerically, and the batched multi-window solver must
+run under a ('windows', 'points') mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photobundle_tpu.core import lm
+from photobundle_tpu.parallel import make_mesh
+from photobundle_tpu.parallel.sharded import (
+    ShardedLMSolver,
+    make_batched_sharded_solver,
+)
+
+from synthetic import perturb_poses, pose_errors
+from test_residuals import setup_problem
+
+
+def make_inputs(rng, n_pts=64, w=4):
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=n_pts, w=w)
+    t_init = jnp.asarray(perturb_poses(rng, np.asarray(t_wc), 0.02, 0.004,
+                                       keep_first=2))
+    frozen = jnp.asarray([True, True] + [False] * (w - 2))
+    point_valid = jnp.ones((n_pts,), bool)
+    return cam, off, (t_init, x, patch, ch, g, obs, point_valid, frozen)
+
+
+def test_sharded_matches_single_device(rng):
+    cam, off, args = make_inputs(rng, n_pts=64)
+    kw = dict(huber_delta=1e9, gradient_mode="sampled", max_iterations=8)
+
+    t_single, x_single, s_single = lm.lm_solve(cam, *args[:2], *args[2:6],
+                                               args[6], args[7], off, **kw)
+
+    mesh = make_mesh(points=4, windows=1)
+    solver = ShardedLMSolver(mesh, cam, off, n_points=64, **kw)
+    t_shard, x_shard, s_shard = solver(*args)
+
+    np.testing.assert_allclose(np.asarray(t_shard), np.asarray(t_single),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(float(s_shard.final_cost),
+                               float(s_single.final_cost), rtol=1e-3)
+    assert int(s_shard.iterations) == int(s_single.iterations)
+
+
+def test_sharded_improves_poses(rng):
+    cam, off, args = make_inputs(rng, n_pts=128)
+    mesh = make_mesh(points=8, windows=1)
+    solver = ShardedLMSolver(mesh, cam, off, n_points=128, huber_delta=1e9,
+                             max_iterations=25)
+    t_ref, _, stats = solver(*args)
+    assert float(stats.final_cost) < 0.3 * float(stats.initial_cost)
+
+
+def test_sharded_rejects_bad_capacity(rng):
+    cam, off, _ = make_inputs(rng, n_pts=64)
+    mesh = make_mesh(points=8, windows=1)
+    with pytest.raises(ValueError):
+        ShardedLMSolver(mesh, cam, off, n_points=63, huber_delta=1.0)
+
+
+def test_batched_multi_window_solver(rng):
+    """2 windows x 4 point-shards on the 8-device mesh (DP x TP-analog)."""
+    cam, off, args_a = make_inputs(rng, n_pts=32, w=4)
+    _, _, args_b = make_inputs(np.random.default_rng(5), n_pts=32, w=4)
+
+    def stack(a, b):
+        return jnp.stack([a, b])
+
+    batched_args = tuple(stack(a, b) for a, b in zip(args_a, args_b))
+    mesh = make_mesh(points=4, windows=2)
+    solver = make_batched_sharded_solver(mesh, cam, off, n_points=32,
+                                         huber_delta=1e9, max_iterations=6)
+    t_ref, x_ref, stats = solver(*batched_args)
+    assert t_ref.shape == (2, 4, 4, 4)
+    assert x_ref.shape == (2, 32, 3)
+    final = np.asarray(stats.final_cost)
+    initial = np.asarray(stats.initial_cost)
+    assert (final <= initial + 1e-9).all()
+    # Each window's solve matches its unbatched counterpart.
+    t_a, x_a, s_a = lm.lm_solve(cam, *args_a[:2], *args_a[2:6], args_a[6],
+                                args_a[7], off, huber_delta=1e9,
+                                max_iterations=6)
+    np.testing.assert_allclose(np.asarray(t_ref[0]), np.asarray(t_a),
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,61 @@
+"""JAX block-matching stereo tests vs known disparity."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from photobundle_tpu.image import stereo
+
+
+def shifted_pair(rng, h=80, w=160, d=6):
+    import scipy.ndimage
+
+    base = rng.uniform(0, 1, size=(h, w + d)).astype(np.float32)
+    base = scipy.ndimage.gaussian_filter(base, 1.2)
+    # Stereo convention: left[x] = right[x - d] for disparity d > 0.
+    left = base[:, :-d]
+    right = base[:, d:]
+    return left, right
+
+
+def test_block_match_uniform_disparity(rng):
+    d_true = 6
+    left, right = shifted_pair(rng, d=d_true)
+    disp, valid = stereo.block_match(jnp.asarray(left), jnp.asarray(right),
+                                     num_disparities=16, min_disparity=1,
+                                     sad_radius=3)
+    disp = np.asarray(disp)
+    valid = np.asarray(valid)
+    assert valid.mean() > 0.5
+    err = np.abs(disp[valid] - d_true)
+    assert np.median(err) < 0.5
+    assert (err < 1.0).mean() > 0.9
+
+
+def test_block_match_flat_region_invalid():
+    left = jnp.ones((60, 100)) * 0.5
+    right = jnp.ones((60, 100)) * 0.5
+    disp, valid = stereo.block_match(left, right, num_disparities=16)
+    # Textureless surface: nothing should validate.
+    assert float(jnp.mean(valid.astype(jnp.float32))) < 0.05
+
+
+def test_block_match_subpixel(rng):
+    """Half-pixel shift should be recovered to ~0.3 px by the parabola."""
+    import scipy.ndimage
+
+    h, w, d_true = 60, 120, 5.5
+    base = scipy.ndimage.gaussian_filter(
+        rng.uniform(0, 1, size=(h, w + 20)).astype(np.float32), 2.0)
+    xs = np.arange(w)
+    left = base[:, 10:10 + w]
+    # left[x] = right[x - d] -> right[x] = left[x + d] = base[x + 10 + d]
+    right = np.stack([np.interp(xs + 10 + d_true, np.arange(w + 20), row)
+                      for row in base]).astype(np.float32)
+    disp, valid = stereo.block_match(jnp.asarray(left), jnp.asarray(right),
+                                     num_disparities=16, min_disparity=1,
+                                     sad_radius=4, texture_threshold=0.002)
+    disp = np.asarray(disp)
+    valid = np.asarray(valid)
+    assert valid.mean() > 0.3
+    err = np.abs(disp[valid] - d_true)
+    assert np.median(err) < 0.35, np.median(err)
