@@ -35,11 +35,13 @@ def build(platform_device):
 
     cam, offsets, args = _make_problem(N_PTS, W, H, WI, PATCH_RADIUS, seed=1)
 
+    backend = "pallas" if platform_device.platform not in ("cpu", "gpu") else "xla"
+
     def solve(iters):
         def fn(*a):
             return lm.lm_solve(
                 cam, *a[:2], *a[2:6], a[6], a[7], offsets,
-                huber_delta=0.05, gradient_mode="sampled",
+                huber_delta=0.05, gradient_mode="sampled", backend=backend,
                 max_iterations=iters,
                 function_tolerance=0.0, parameter_tolerance=0.0,
             )
@@ -55,12 +57,15 @@ def time_solve(device, iters, repeats=3):
     solve, args = build(device)
     fn = jax.jit(solve(iters))
     out = fn(*args)           # compile + warmup
-    jax.block_until_ready(out)
+    _ = float(out[2].final_cost)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        # A host readback of the result is the only reliable completion
+        # barrier on tunneled backends (block_until_ready can return before
+        # remote execution finishes).
+        _ = float(out[2].final_cost)
         best = min(best, time.perf_counter() - t0)
     n_done = int(out[2].iterations)
     return n_done / best, n_done, best

@@ -153,7 +153,10 @@ class PBAConfig:
                                           # matches jax.grad exactly)
     meshPoints: int = 1                   # chips along the point axis
     meshWindows: int = 1                  # data-parallel window/sequence axis
-    usePallas: bool = False               # Pallas fused kernels for hot ops
+    solverBackend: str = "auto"           # 'auto' | 'pallas' | 'xla' — auto
+                                          # uses the fused Pallas sampling
+                                          # kernel on TPU (gradientMode
+                                          # 'sampled' only), XLA elsewhere
     checkpointDir: str = ""
 
     # ---- derived (static) quantities ----
@@ -170,6 +173,15 @@ class PBAConfig:
         """Residual dimension per observation: |patch| * channels."""
         return self.patch_size * self.patch_size * self.num_channels
 
+    def resolve_backend(self) -> str:
+        """'auto' -> fused Pallas kernel on TPU (sampled gradients), else XLA."""
+        if self.solverBackend != "auto":
+            return self.solverBackend
+        import jax
+
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        return "pallas" if (on_tpu and self.gradientMode == "sampled") else "xla"
+
     def validate(self) -> "PBAConfig":
         if self.descriptor not in _DESCRIPTOR_CHANNELS:
             raise ValueError(f"unknown descriptor '{self.descriptor}'")
@@ -179,6 +191,8 @@ class PBAConfig:
             raise ValueError("numFixedPoses out of range")
         if self.gradientMode not in ("sampled", "exact"):
             raise ValueError(f"unknown gradientMode '{self.gradientMode}'")
+        if self.solverBackend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown solverBackend '{self.solverBackend}'")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         return self

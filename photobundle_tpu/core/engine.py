@@ -191,6 +191,7 @@ class PhotometricBundleAdjustment:
             self.offsets,
             huber_delta=cfg.robustThreshold,
             gradient_mode=cfg.gradientMode,
+            backend=cfg.resolve_backend(),
             depth_prior=depth_prior,
             max_iterations=cfg.maxIterations,
             initial_lambda=cfg.initialLambda,

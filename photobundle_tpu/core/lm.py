@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from . import schur
-from .residuals import evaluate
+from .residuals import evaluate, evaluate_compressed
 
 
 class LMStats(NamedTuple):
@@ -73,6 +73,7 @@ def lm_solve(
     *,
     huber_delta: float,
     gradient_mode: str = "sampled",
+    backend: str = "xla",
     depth_prior: tuple | None = None,
     max_iterations: int = 50,
     initial_lambda: float = 1e-4,
@@ -95,6 +96,13 @@ def lm_solve(
     obs_mask = obs_mask & point_valid[:, None]
 
     def full_cost(t, x):
+        if backend == "pallas":
+            from .residuals import _evaluate_compressed_pallas
+
+            res = _evaluate_compressed_pallas(
+                cam, t, x, patch, channels, grads, obs_mask, offsets,
+                huber_delta, depth_prior, interpret=False, cost_only=True)
+            return reduce_fn(res.cost), reduce_fn(res.n_residuals)
         res = evaluate(cam, t, x, patch, channels, grads, obs_mask, offsets,
                        huber_delta, gradient_mode, with_jacobians=False,
                        depth_prior=depth_prior)
@@ -103,10 +111,11 @@ def lm_solve(
     init_cost, n_res = full_cost(t_wc, x_world)
 
     def body(st: _LoopState) -> _LoopState:
-        res = evaluate(cam, st.t_wc, st.x_world, patch, channels, grads,
-                       obs_mask, offsets, huber_delta, gradient_mode,
-                       depth_prior=depth_prior)
-        eq = schur.build_normal_equations(res)
+        res = evaluate_compressed(cam, st.t_wc, st.x_world, patch, channels,
+                                  grads, obs_mask, offsets, huber_delta,
+                                  gradient_mode, depth_prior=depth_prior,
+                                  backend=backend)
+        eq = schur.build_normal_equations_compressed(res)
         # Cross-shard reduction of pose-side blocks (points stay local).
         eq = eq._replace(hcc=reduce_fn(eq.hcc), bc=reduce_fn(eq.bc))
         # Freeze poses with no support (empty slots) in addition to gauge.

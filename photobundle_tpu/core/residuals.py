@@ -222,3 +222,184 @@ def cost_only(cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
                    offsets, huber_delta, gradient_mode, with_jacobians=False,
                    depth_prior=depth_prior)
     return res.cost, res.n_residuals
+
+
+class CompressedResiduals(NamedTuple):
+    """Rank-2-factored residual/Jacobian statistics.
+
+    Because every pixel of a fronto-parallel patch shares the same projected
+    displacement, the per-observation Jacobian factors as J = G @ A with
+    G (D, 2) the centered sampled gradients and A (2, 9) the geometry chain.
+    Gauss-Newton therefore only needs the tiny sufficient statistics
+
+        gtg = w * G^T G   (2, 2)      J^T J = A^T gtg A
+        gtr = w * G^T r   (2,)        J^T r = A^T gtr
+
+    (w = Huber IRLS weight x validity). The (N, W, D, 9) Jacobian tensor of
+    the naive path never materializes — at D = 25 this cuts the HBM traffic
+    of normal-equation assembly by ~12x. The optional inverse-depth prior
+    row does not share the A chain, so it is carried as an explicit rank-1
+    (jp, rp) pair (whitened by sqrt(w))."""
+
+    a: jax.Array        # (N, W, 2, 9) du/d[pose(6) | point(3)]
+    gtg: jax.Array      # (N, W, 2, 2) whitened gradient Gram
+    gtr: jax.Array      # (N, W, 2)    whitened G^T r
+    jp: jax.Array       # (N, W, 9)    whitened prior Jacobian row
+    rp: jax.Array       # (N, W)       whitened prior residual
+    valid: jax.Array    # (N, W)
+    cost: jax.Array
+    n_residuals: jax.Array
+
+
+def _prior_terms(f, t_wc_f, y, valid, depth_prior, dtype):
+    """Inverse-depth prior row for frame f: (rp (N,), jp (N, 9))."""
+    n = y.shape[0]
+    ref_slot, q_seed, wd = depth_prior
+    z = jnp.maximum(y[:, 2], 1e-6)
+    m = ((ref_slot == f) & valid).astype(dtype)
+    rp = wd * (1.0 / z - q_seed) * m
+    coef = (-wd / (z * z)) * m
+    t_cw = se3.se3_inverse(t_wc_f)
+    r_cw = t_cw[:3, :3]
+    dz_dpose = jnp.concatenate(
+        [jnp.broadcast_to(-jnp.eye(3, dtype=dtype)[2], (n, 3)),
+         se3.hat(y)[:, 2, :]], axis=-1)                   # (N, 6)
+    dz_dx = jnp.broadcast_to(r_cw[2], (n, 3))             # (N, 3)
+    jp = coef[:, None] * jnp.concatenate([dz_dpose, dz_dx], -1)
+    return rp, jp
+
+
+def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
+                                obs_mask, offsets, huber_delta: float,
+                                depth_prior: tuple | None,
+                                interpret: bool,
+                                cost_only: bool = False) -> CompressedResiduals:
+    """Kernel-backed path: ops/patch_stats does sample+center+reduce fused;
+    only the tiny geometry/prior/whitening algebra stays in XLA."""
+    from ..ops import patch_stats as ps_mod
+
+    n, w = obs_mask.shape
+    c = patch.shape[1]
+    pr = (int(round(patch.shape[2] ** 0.5)) - 1) // 2   # P = (2R+1)^2
+    use_prior = depth_prior is not None and depth_prior[2] > 0.0
+    img_h, img_w = channels.shape[-2], channels.shape[-1]
+
+    def per_frame_geom(f, t_wc_f, obs_f):
+        y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
+        in_bounds = ((uv[..., 0] >= pr) & (uv[..., 0] <= img_w - 2 - pr) &
+                     (uv[..., 1] >= pr) & (uv[..., 1] <= img_h - 2 - pr))
+        valid = obs_f & in_front & in_bounds
+        if use_prior:
+            rp, jp = _prior_terms(f, t_wc_f, y, valid, depth_prior, uv.dtype)
+        else:
+            rp = jnp.zeros((n,), uv.dtype)
+            jp = jnp.zeros((n, 9), uv.dtype)
+        return uv, valid, a, rp, jp
+
+    uv, valid, a, rp, jp = jax.vmap(
+        per_frame_geom, in_axes=(0, 0, 1), out_axes=1
+    )(jnp.arange(w, dtype=jnp.int32), t_wc, obs_mask)
+
+    # (W, C, H, Wi) planes + grads -> (W, 3C, NPANEL, H, 128) panels.
+    planes = jnp.concatenate(
+        [jnp.stack([channels[:, ch], grads[:, ch, ..., 0],
+                    grads[:, ch, ..., 1]], axis=1) for ch in range(c)],
+        axis=1)
+    panels = ps_mod.build_panels(planes, pr)
+    desc = patch.reshape(n, c, 2 * pr + 1, 2 * pr + 1)
+    gtg, gtr, rnorm2 = ps_mod.patch_stats(panels, uv, valid, desc, pr,
+                                          interpret=interpret,
+                                          cost_only=cost_only)
+
+    rnorm2 = rnorm2 + rp * rp
+    vf = valid.astype(gtg.dtype)
+    rnorm2 = rnorm2 * vf
+    w_huber, rho = _huber_weight(rnorm2, huber_delta)
+    wv = w_huber * vf
+    sw = jnp.sqrt(w_huber) * vf
+    return CompressedResiduals(
+        a=a,
+        gtg=gtg * wv[..., None, None],
+        gtr=gtr * wv[..., None],
+        jp=jp * sw[..., None],
+        rp=rp * sw,
+        valid=valid,
+        cost=0.5 * jnp.sum(rho * vf),
+        n_residuals=jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
+def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
+                        offsets, huber_delta: float,
+                        gradient_mode: str = "sampled",
+                        depth_prior: tuple | None = None,
+                        backend: str = "xla",
+                        interpret: bool = False) -> CompressedResiduals:
+    """Like `evaluate` but returns the factored Gauss-Newton statistics.
+
+    Produces bitwise-equivalent normal equations (see
+    schur.build_normal_equations_compressed) at a fraction of the memory
+    traffic. This is the production path; `evaluate` remains as the oracle.
+
+    backend='pallas' routes sampling + reduction through the fused TPU
+    kernel (ops/patch_stats; requires gradient_mode='sampled'); 'xla' is the
+    portable gather-based path.
+    """
+    if backend == "pallas":
+        if gradient_mode != "sampled":
+            raise ValueError("pallas backend implements gradient_mode='sampled'")
+        return _evaluate_compressed_pallas(
+            cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
+            huber_delta, depth_prior, interpret)
+    n, w = obs_mask.shape
+    use_prior = depth_prior is not None and depth_prior[2] > 0.0
+
+    def per_frame(f, t_wc_f, channels_f, grads_f, obs_f):
+        y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
+        s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets,
+                                          gradient_mode)
+        valid = obs_f & in_front & in_bounds                  # (N,)
+        s_centered = s - jnp.mean(s, axis=-1, keepdims=True)
+        r = (s_centered - patch).reshape(n, -1)               # (N, D)
+        g_c = (g - jnp.mean(g, axis=-2, keepdims=True)).reshape(n, -1, 2)
+        gtg = jnp.einsum("ndi,ndj->nij", g_c, g_c)            # (N, 2, 2)
+        gtr = jnp.einsum("ndi,nd->ni", g_c, r)                # (N, 2)
+        r_norm2 = jnp.sum(r * r, axis=-1)                     # (N,)
+        if use_prior:
+            ref_slot, q_seed, wd = depth_prior
+            z = jnp.maximum(y[:, 2], 1e-6)
+            m = ((ref_slot == f) & valid).astype(r.dtype)
+            rp = wd * (1.0 / z - q_seed) * m                  # (N,)
+            coef = (-wd / (z * z)) * m
+            t_cw = se3.se3_inverse(t_wc_f)
+            r_cw = t_cw[:3, :3]
+            dz_dpose = jnp.concatenate(
+                [jnp.broadcast_to(-jnp.eye(3, dtype=r.dtype)[2], (n, 3)),
+                 se3.hat(y)[:, 2, :]], axis=-1)               # (N, 6)
+            dz_dx = jnp.broadcast_to(r_cw[2], (n, 3))         # (N, 3)
+            jp = coef[:, None] * jnp.concatenate([dz_dpose, dz_dx], -1)
+            r_norm2 = r_norm2 + rp * rp
+        else:
+            rp = jnp.zeros((n,), r.dtype)
+            jp = jnp.zeros((n, 9), r.dtype)
+        return a, gtg, gtr, jp, rp, valid, r_norm2
+
+    a, gtg, gtr, jp, rp, valid, r_norm2 = jax.vmap(
+        per_frame, in_axes=(0, 0, 0, 0, 1), out_axes=1
+    )(jnp.arange(w, dtype=jnp.int32), t_wc, channels, grads, obs_mask)
+
+    vf = valid.astype(gtg.dtype)                              # (N, W)
+    r_norm2 = r_norm2 * vf
+    w_huber, rho = _huber_weight(r_norm2, huber_delta)
+    wv = w_huber * vf            # J^T J / J^T r carry the squared whitening
+    sw = jnp.sqrt(w_huber) * vf
+    return CompressedResiduals(
+        a=a,
+        gtg=gtg * wv[..., None, None],
+        gtr=gtr * wv[..., None],
+        jp=jp * sw[..., None],
+        rp=rp * sw,
+        valid=valid,
+        cost=0.5 * jnp.sum(rho * vf),
+        n_residuals=jnp.sum(valid.astype(jnp.int32)),
+    )

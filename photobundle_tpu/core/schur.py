@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .residuals import Residuals
+from .residuals import CompressedResiduals, Residuals
 
 _DIAG_MIN = 1e-6
 _DIAG_MAX = 1e32
@@ -54,6 +54,31 @@ def build_normal_equations(res: Residuals) -> NormalEq:
     bp = -jnp.einsum("nwdi,nwd->ni", jp, r)
     bc = -jnp.einsum("nwdi,nwd->wi", jc, r)
     return NormalEq(hpp=hpp, hpc=hpc, hcc=hcc, bp=bp, bc=bc)
+
+
+def build_normal_equations_compressed(res: CompressedResiduals) -> NormalEq:
+    """Normal equations from the rank-2-factored statistics
+    (residuals.evaluate_compressed): per observation
+
+        H_obs = A^T gtg A + jp jp^T          (9, 9)
+        b_obs = -(A^T gtr + rp * jp)         (9,)
+
+    then Hpp / Hpc / Hcc / bp / bc are block partitions summed over frames /
+    points. Identical result to build_normal_equations(evaluate(...)) without
+    ever forming the (N, W, D, 9) Jacobian — every contraction here is over
+    the tiny factored axes, so the pass is compute-light and HBM-cheap."""
+    ga = jnp.einsum("nwab,nwbj->nwaj", res.gtg, res.a)        # (N, W, 2, 9)
+    haa = jnp.einsum("nwai,nwaj->nwij", res.a, ga)            # (N, W, 9, 9)
+    haa = haa + res.jp[..., :, None] * res.jp[..., None, :]
+    b_obs = -(jnp.einsum("nwai,nwa->nwi", res.a, res.gtr)
+              + res.jp * res.rp[..., None])                   # (N, W, 9)
+    return NormalEq(
+        hpp=jnp.sum(haa[..., 6:, 6:], axis=1),
+        hpc=haa[..., 6:, :6],
+        hcc=jnp.sum(haa[..., :6, :6], axis=0),
+        bp=jnp.sum(b_obs[..., 6:], axis=1),
+        bc=jnp.sum(b_obs[..., :6], axis=0),
+    )
 
 
 def _damped(h: jax.Array, lam: jax.Array) -> jax.Array:

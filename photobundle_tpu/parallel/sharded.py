@@ -54,7 +54,8 @@ class ShardedLMSolver:
 
     def __init__(self, mesh: Mesh, cam: Camera, offsets: jax.Array, *,
                  n_points: int, huber_delta: float,
-                 gradient_mode: str = "sampled", max_iterations: int = 50,
+                 gradient_mode: str = "sampled", backend: str = "xla",
+                 max_iterations: int = 50,
                  initial_lambda: float = 1e-4, function_tolerance: float = 1e-6,
                  parameter_tolerance: float = 1e-8):
         if "points" not in mesh.axis_names:
@@ -75,6 +76,7 @@ class ShardedLMSolver:
                 cam, t_wc, x_world, patch, channels, grads, obs_mask,
                 point_valid, frozen, offsets,
                 huber_delta=huber_delta, gradient_mode=gradient_mode,
+                backend=backend,
                 max_iterations=max_iterations, initial_lambda=initial_lambda,
                 function_tolerance=function_tolerance,
                 parameter_tolerance=parameter_tolerance,

@@ -114,3 +114,45 @@ def test_gauss_newton_step_decreases_cost(rng):
                             huber_delta=1e9, gradient_mode="exact",
                             with_jacobians=False)
     assert float(out2.cost) < float(out.cost)
+
+
+def _assert_eq_close(eq_a, eq_b, atol):
+    for name in NormalEqFields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(eq_a, name)), np.asarray(getattr(eq_b, name)),
+            atol=atol, rtol=1e-4, err_msg=name)
+
+
+NormalEqFields = ("hpp", "hpc", "hcc", "bp", "bc")
+
+
+def test_compressed_normal_equations_match_full(rng):
+    """build_normal_equations_compressed(evaluate_compressed(...)) must equal
+    build_normal_equations(evaluate(...)) — the production rank-2-factored
+    path vs the oracle path, including Huber whitening and masking."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=9, w=3)
+    obs = obs.at[1, 2].set(False).at[4, 0].set(False)
+    x = x + 0.02
+    kw = dict(huber_delta=0.05, gradient_mode="sampled")
+    full = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off, **kw)
+    comp = res_mod.evaluate_compressed(cam, t_wc, x, patch, ch, g, obs, off, **kw)
+    np.testing.assert_allclose(float(comp.cost), float(full.cost), rtol=1e-5)
+    assert int(comp.n_residuals) == int(full.n_residuals)
+    _assert_eq_close(schur.build_normal_equations_compressed(comp),
+                     schur.build_normal_equations(full), atol=2e-3)
+
+
+def test_compressed_normal_equations_match_full_with_prior(rng):
+    """Same equivalence with the inverse-depth prior pseudo-pixel active."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=7, w=3)
+    n = x.shape[0]
+    ref_slot = jnp.asarray(rng.integers(0, 3, size=n), jnp.int32)
+    q_seed = jnp.asarray(rng.uniform(0.05, 0.4, size=n).astype(np.float32))
+    prior = (ref_slot, q_seed, 5.0)
+    kw = dict(huber_delta=0.05, gradient_mode="sampled", depth_prior=prior)
+    full = res_mod.evaluate(cam, t_wc, x + 0.02, patch, ch, g, obs, off, **kw)
+    comp = res_mod.evaluate_compressed(cam, t_wc, x + 0.02, patch, ch, g, obs,
+                                       off, **kw)
+    np.testing.assert_allclose(float(comp.cost), float(full.cost), rtol=1e-5)
+    _assert_eq_close(schur.build_normal_equations_compressed(comp),
+                     schur.build_normal_equations(full), atol=2e-3)
