@@ -47,7 +47,8 @@ class LMStats(NamedTuple):
 class _LoopState(NamedTuple):
     t_wc: jax.Array
     x_world: jax.Array
-    cost: jax.Array
+    res: object           # CompressedResiduals at (t_wc, x_world)
+    cost: jax.Array       # globally-reduced robust cost at (t_wc, x_world)
     lam: jax.Array
     nu: jax.Array
     it: jax.Array
@@ -95,26 +96,33 @@ def lm_solve(
 
     obs_mask = obs_mask & point_valid[:, None]
 
-    def full_cost(t, x):
-        if backend == "pallas":
-            from .residuals import _evaluate_compressed_pallas
+    # Sampling context (image panels, 2D descriptors) is loop-invariant —
+    # build once, reuse in every iteration's eval and cost passes.
+    ctx = None
+    if backend == "pallas":
+        from .residuals import make_pallas_ctx
 
-            res = _evaluate_compressed_pallas(
-                cam, t, x, patch, channels, grads, obs_mask, offsets,
-                huber_delta, depth_prior, interpret=False, cost_only=True)
-            return reduce_fn(res.cost), reduce_fn(res.n_residuals)
-        res = evaluate(cam, t, x, patch, channels, grads, obs_mask, offsets,
-                       huber_delta, gradient_mode, with_jacobians=False,
-                       depth_prior=depth_prior)
-        return reduce_fn(res.cost), reduce_fn(res.n_residuals)
+        pr = (int(round(offsets.shape[0] ** 0.5)) - 1) // 2
+        ctx = make_pallas_ctx(channels, grads, patch, pr)
 
-    init_cost, n_res = full_cost(t_wc, x_world)
+    def eval_stats(t, x):
+        return evaluate_compressed(cam, t, x, patch, channels, grads,
+                                   obs_mask, offsets, huber_delta,
+                                   gradient_mode, depth_prior=depth_prior,
+                                   backend=backend, ctx=ctx)
+
+    res0 = eval_stats(t_wc, x_world)
+    init_cost = reduce_fn(res0.cost)
+    n_res = reduce_fn(res0.n_residuals)
 
     def body(st: _LoopState) -> _LoopState:
-        res = evaluate_compressed(cam, st.t_wc, st.x_world, patch, channels,
-                                  grads, obs_mask, offsets, huber_delta,
-                                  gradient_mode, depth_prior=depth_prior,
-                                  backend=backend)
+        # One residual/stat evaluation per iteration: the loop state carries
+        # the stats at the CURRENT point (evaluated when that point was the
+        # accepted candidate), so the candidate's full evaluation doubles as
+        # both the acceptance test and, if accepted, the next iteration's
+        # Gauss-Newton system. Halves the sampling work vs the classic
+        # eval-then-test structure at identical numerics.
+        res = st.res
         eq = schur.build_normal_equations_compressed(res)
         # Cross-shard reduction of pose-side blocks (points stay local).
         eq = eq._replace(hcc=reduce_fn(eq.hcc), bc=reduce_fn(eq.bc))
@@ -128,7 +136,8 @@ def lm_solve(
 
         t_new = se3.retract_right(st.t_wc, dc)
         x_new = st.x_world + dp
-        new_cost, _ = full_cost(t_new, x_new)
+        res_new = eval_stats(t_new, x_new)
+        new_cost = reduce_fn(res_new.cost)
 
         pred = schur.predicted_reduction(eq, st.lam, dc, dp, reduce_fn=reduce_fn)
         pred = jnp.maximum(pred, 1e-20)
@@ -157,6 +166,8 @@ def lm_solve(
         return _LoopState(
             t_wc=jnp.where(accept, t_new, st.t_wc),
             x_world=jnp.where(accept, x_new, st.x_world),
+            res=jax.tree.map(lambda a, b: jnp.where(accept, a, b),
+                             res_new, st.res),
             cost=cost_out,
             lam=lam_new,
             nu=nu_new,
@@ -176,6 +187,7 @@ def lm_solve(
     st0 = _LoopState(
         t_wc=t_wc,
         x_world=x_world,
+        res=res0,
         cost=init_cost,
         lam=jnp.asarray(initial_lambda, t_wc.dtype),
         nu=jnp.asarray(2.0, t_wc.dtype),

@@ -269,11 +269,29 @@ def _prior_terms(f, t_wc_f, y, valid, depth_prior, dtype):
     return rp, jp
 
 
+def make_pallas_ctx(channels, grads, patch, patch_radius: int):
+    """Prebuilt sampling context for the Pallas backend: interleaved panels
+    (full passes), value panels (cost passes), 2D descriptor patches. Build
+    ONCE per solve and pass to evaluate_compressed — images are
+    loop-invariant across LM iterations and the panel relayout is not free."""
+    from ..ops import patch_stats as ps_mod
+
+    n, c = patch.shape[0], patch.shape[1]
+    ps = int(round(patch.shape[2] ** 0.5))
+    pr = (ps - 1) // 2
+    return (
+        ps_mod.build_interleaved_panels(channels, grads, pr),
+        ps_mod.build_panels(channels, pr),
+        patch.reshape(n, c, ps, ps),
+    )
+
+
 def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
                                 obs_mask, offsets, huber_delta: float,
                                 depth_prior: tuple | None,
                                 interpret: bool,
-                                cost_only: bool = False) -> CompressedResiduals:
+                                cost_only: bool = False,
+                                ctx=None) -> CompressedResiduals:
     """Kernel-backed path: ops/patch_stats does sample+center+reduce fused;
     only the tiny geometry/prior/whitening algebra stays in XLA."""
     from ..ops import patch_stats as ps_mod
@@ -300,13 +318,10 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
         per_frame_geom, in_axes=(0, 0, 1), out_axes=1
     )(jnp.arange(w, dtype=jnp.int32), t_wc, obs_mask)
 
-    # (W, C, H, Wi) planes + grads -> (W, 3C, NPANEL, H, 128) panels.
-    planes = jnp.concatenate(
-        [jnp.stack([channels[:, ch], grads[:, ch, ..., 0],
-                    grads[:, ch, ..., 1]], axis=1) for ch in range(c)],
-        axis=1)
-    panels = ps_mod.build_panels(planes, pr)
-    desc = patch.reshape(n, c, 2 * pr + 1, 2 * pr + 1)
+    if ctx is None:
+        ctx = make_pallas_ctx(channels, grads, patch, pr)
+    panels_full, panels_value, desc = ctx
+    panels = panels_value if cost_only else panels_full
     gtg, gtr, rnorm2 = ps_mod.patch_stats(panels, uv, valid, desc, pr,
                                           interpret=interpret,
                                           cost_only=cost_only)
@@ -334,7 +349,8 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                         gradient_mode: str = "sampled",
                         depth_prior: tuple | None = None,
                         backend: str = "xla",
-                        interpret: bool = False) -> CompressedResiduals:
+                        interpret: bool = False,
+                        ctx=None) -> CompressedResiduals:
     """Like `evaluate` but returns the factored Gauss-Newton statistics.
 
     Produces bitwise-equivalent normal equations (see
@@ -350,7 +366,7 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
             raise ValueError("pallas backend implements gradient_mode='sampled'")
         return _evaluate_compressed_pallas(
             cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
-            huber_delta, depth_prior, interpret)
+            huber_delta, depth_prior, interpret, ctx=ctx)
     n, w = obs_mask.shape
     use_prior = depth_prior is not None and depth_prior[2] > 0.0
 

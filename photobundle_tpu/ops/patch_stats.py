@@ -73,13 +73,27 @@ def build_panels(planes: jax.Array, patch_radius: int) -> jax.Array:
     return jnp.stack(pans, axis=-3)
 
 
+def build_interleaved_panels(channels: jax.Array, grads: jax.Array,
+                             patch_radius: int) -> jax.Array:
+    """(W, C, H, Wi) values + (W, C, H, Wi, 2) gradients ->
+    (W, C, NPANEL, 3H, 128) panels with rows interleaved as 3y+k
+    (k = value, d/dx, d/dy) so the kernel loads one window for all three
+    planes. Built once per solve (loop-invariant)."""
+    w, c, h, wi = channels.shape
+    inter = jnp.stack(
+        [channels, grads[..., 0], grads[..., 1]], axis=3)    # (W, C, H, 3, Wi)
+    return build_panels(inter.reshape(w, c, 3 * h, wi), patch_radius)
+
+
 def _stats_kernel(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, d_ref, out_ref,
                   *, chunk: int, n_panels: int, n_channels: int,
                   patch_radius: int, cost_only: bool = False):
     """One grid step: `chunk` observations against one frame's panels.
 
-    img_ref: (1, 3C * NPANEL, H, 128) — per channel c the planes
-        [3c+0] value, [3c+1] d/dx, [3c+2] d/dy, each as NPANEL panels.
+    img_ref (full mode): (1, C * NPANEL, 3H, 128) — per channel, panels of
+        the row-INTERLEAVED plane stack (row 3y+k: k = value, d/dx, d/dy),
+        so one window = ONE contiguous (3*win, 128) load + ONE lane roll.
+    img_ref (cost_only): (1, C * NPANEL, H, 128) — value planes only.
     d_ref:   (chunk, C, P, P) reference descriptor patches (mean-normalized).
     out_ref: (chunk, 8) -> [gxx, gxy, gyy, gxr, gyr, rr, 0, 0].
     """
@@ -110,23 +124,34 @@ def _stats_kernel(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, d_ref, out_ref,
         gyr = 0.0
         rr = 0.0
         for c in range(n_channels):
-            scs = []
-            for k in range(1 if cost_only else 3):  # value, grad-x, grad-y
-                rows = img_ref[0, (3 * c + k) * n_panels + p,
-                               pl.ds(y0, win), :]            # (win, 128)
+            if cost_only:
+                rows = img_ref[0, c * n_panels + p, pl.ds(y0, win), :]
                 wnd = pltpu.roll(rows, -o, 1)[:, :win]       # (win, win)
                 s = (w00 * wnd[:ps, :ps] + w01 * wnd[:ps, 1:]
                      + w10 * wnd[1:, :ps] + w11 * wnd[1:, 1:])
-                scs.append(s - jnp.mean(s))
-            r = scs[0] - d_ref[i, c]
+                r = (s - jnp.mean(s)) - d_ref[i, c]
+                rr += jnp.sum(r * r)
+                continue
+            # Interleaved: rows 3y+k -> one load covers all three planes;
+            # a y-shift of 1 is a row-shift of 3.
+            rows = img_ref[0, c * n_panels + p, pl.ds(3 * y0, 3 * win), :]
+            wnd = pltpu.roll(rows, -o, 1)[:, :win]           # (3win, win)
+            s3 = (w00 * wnd[:3 * ps, :ps] + w01 * wnd[:3 * ps, 1:]
+                  + w10 * wnd[3:, :ps] + w11 * wnd[3:, 1:])  # (3ps, ps)
+            s3 = s3.reshape(ps, 3, ps)  # de-interleave (strided slices
+            s = s3[:, 0, :]             # don't lower on Mosaic; a sublane
+            gx = s3[:, 1, :]            # split reshape does)
+            gy = s3[:, 2, :]
+            s = s - jnp.mean(s)
+            gx = gx - jnp.mean(gx)
+            gy = gy - jnp.mean(gy)
+            r = s - d_ref[i, c]
             rr += jnp.sum(r * r)
-            if not cost_only:
-                gx, gy = scs[1], scs[2]
-                gxx += jnp.sum(gx * gx)
-                gxy += jnp.sum(gx * gy)
-                gyy += jnp.sum(gy * gy)
-                gxr += jnp.sum(gx * r)
-                gyr += jnp.sum(gy * r)
+            gxx += jnp.sum(gx * gx)
+            gxy += jnp.sum(gx * gy)
+            gyy += jnp.sum(gy * gy)
+            gxr += jnp.sum(gx * r)
+            gyr += jnp.sum(gy * r)
         out_ref[i, :] = jnp.stack([gxx, gxy, gyy, gxr, gyr, rr, 0.0, 0.0])
 
     jax.lax.fori_loop(0, chunk // unroll, body, 0, unroll=False)
@@ -140,9 +165,10 @@ def patch_stats(panels: jax.Array, uv: jax.Array, valid: jax.Array,
     """Fused sample + center + Gauss-Newton statistics for all observations.
 
     Args:
-      panels: (W, 3C, NPANEL, H, 128) per-frame channel/gradient panels
-          (build_panels of the (W, 3C, H, Wi) plane stack; plane order per
-          channel = value, grad-x, grad-y).
+      panels: full mode: (W, C, NPANEL, 3H, 128) panels of the
+          row-interleaved (value, d/dx, d/dy) plane stack (see
+          build_interleaved_panels); cost_only: (W, C, NPANEL, H, 128)
+          value-plane panels (build_panels).
       uv: (N, W, 2) projected pixel coordinates (x, y).
       valid: (N, W) observation validity (geometry + bounds); invalid
           observations get zero stats.
@@ -155,7 +181,8 @@ def patch_stats(panels: jax.Array, uv: jax.Array, valid: jax.Array,
     n, w, _ = uv.shape
     n_channels = descriptors.shape[1]
     n_pan = panels.shape[2]
-    h = panels.shape[3]
+    hrows = panels.shape[3]
+    h = hrows if cost_only else hrows // 3
     stride = panel_stride(patch_radius)
     ps = 2 * patch_radius + 1
     win = ps + 1
@@ -206,7 +233,7 @@ def patch_stats(panels: jax.Array, uv: jax.Array, valid: jax.Array,
             smem_vec(),  # lane offset
             pl.BlockSpec((1, 2, chunk), lambda s: (s, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, panels.shape[1] * n_pan, h, PANEL_W),
+            pl.BlockSpec((1, panels.shape[1] * n_pan, hrows, PANEL_W),
                          lambda s: (s // steps_per_frame, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, n_channels, ps, ps),
@@ -224,7 +251,7 @@ def patch_stats(panels: jax.Array, uv: jax.Array, valid: jax.Array,
         jnp.stack([fm(fx).reshape(n_steps, chunk),
                    fm(fy).reshape(n_steps, chunk)],
                   axis=1).astype(jnp.float32),
-        panels.reshape(w, -1, h, PANEL_W).astype(jnp.float32),
+        panels.reshape(w, -1, hrows, PANEL_W).astype(jnp.float32),
         descriptors.astype(jnp.float32),
     )
 
