@@ -153,6 +153,10 @@ class PBAConfig:
                                           # matches jax.grad exactly)
     meshPoints: int = 1                   # chips along the point axis
     meshWindows: int = 1                  # data-parallel window/sequence axis
+    dataLoader: str = "auto"              # 'auto' | 'native' | 'python' —
+                                          # native = C++ libpng decode +
+                                          # OpenMP stereo BM + prefetch
+                                          # pipeline (photobundle_tpu/native)
     solverBackend: str = "auto"           # 'auto' | 'pallas' | 'xla' — auto
                                           # uses the fused Pallas sampling
                                           # kernel on TPU (gradientMode
@@ -193,6 +197,8 @@ class PBAConfig:
             raise ValueError(f"unknown gradientMode '{self.gradientMode}'")
         if self.solverBackend not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown solverBackend '{self.solverBackend}'")
+        if self.dataLoader not in ("auto", "native", "python"):
+            raise ValueError(f"unknown dataLoader '{self.dataLoader}'")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         return self

@@ -101,6 +101,31 @@ class KittiStereoDataset:
             len(self.left_files), self.first_frame + self.num_frames)
         self.indices = list(range(self.first_frame, end))
         self._stereo_fn = None
+        self._native = None
+        mode = getattr(self.cfg, "dataLoader", "auto")
+        if mode in ("auto", "native") and self.cfg.stereoAlgorithm.upper() in (
+                "BM", "SGBM"):
+            from .. import native
+
+            if native.available():
+                self._native = native.PrefetchingLoader(
+                    [self.left_files[i] for i in self.indices],
+                    [self.right_files[i] for i in self.indices],
+                    num_disparities=self.cfg.numDisparities,
+                    min_disparity=self.cfg.minDisparity,
+                    sad_radius=self.cfg.sadWindowSize // 2,
+                    uniqueness_ratio=0.97, texture_threshold=0.02,
+                    fx=float(self.camera.fx),
+                    baseline=float(self.camera.baseline),
+                    min_depth=self.cfg.minDepth, max_depth=self.cfg.maxDepth,
+                    n_threads=max(2, getattr(self.cfg, "numThreads", 2)),
+                    prefetch_ahead=4)
+            elif mode == "native":
+                from .. import native as _n
+
+                raise RuntimeError(
+                    f"dataLoader=native requested but unavailable: "
+                    f"{_n.build_error()}")
 
     def __len__(self):
         return len(self.indices)
@@ -147,6 +172,12 @@ class KittiStereoDataset:
 
     def get_frame(self, i: int) -> StereoFrame:
         idx = self.indices[i]
+        if self._native is not None:
+            # Native pipeline: decode + stereo + depth were computed by the
+            # prefetch workers while the previous window was being solved.
+            left, depth, ok = self._native.get(i)
+            return StereoFrame(image=left, depth=depth, depth_valid=ok,
+                               timestamp=float(self.times[idx]), index=idx)
         left = _imread_gray(self.left_files[idx])
         right = _imread_gray(self.right_files[idx])
         depth, ok = self._compute_depth(left, right)

@@ -1,0 +1,402 @@
+// Native host runtime for photobundle-tpu: PNG ingestion, stereo block
+// matching, and a prefetching frame pipeline.
+//
+// TPU-native counterpart of the reference's C++ dataset layer
+// (pb:src/dataset.cc: cv::imread + cv::StereoBM inside Dataset::getFrame,
+// SURVEY.md section 3.5). The reference decodes and block-matches on the
+// main thread between solves; this loader runs a small worker pool that
+// decodes + matches frames AHEAD of the solver (the pipeline-parallel
+// analog of SURVEY.md section 2b: frame t+1 ingestion overlaps the window-t
+// TPU solve), exposed to Python through a C API + ctypes.
+//
+// The block matcher reproduces photobundle_tpu/image/stereo.py
+// (block_match) bit-for-bit in semantics: SAD costs with edge-padded box
+// filtering, winner-take-all with sub-pixel parabola refinement,
+// uniqueness ratio, texture gating, and edge-of-range rejection — tests
+// assert C++ vs JAX agreement.
+
+#include <png.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// PNG decoding (grayscale float in [0, 1])
+// ---------------------------------------------------------------------
+
+// Returns 0 on success. Queries dimensions only.
+int pb_png_size(const char* path, int* width, int* height) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return 1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 2;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+  *width = static_cast<int>(png_get_image_width(png, info));
+  *height = static_cast<int>(png_get_image_height(png, info));
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return 0;
+}
+
+// Decode to float32 grayscale in [0, 1]; `out` must hold width*height.
+// Color images are converted with the ITU-R 601 luma (PIL convert("L")).
+int pb_png_read_gray(const char* path, float* out, int width, int height) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return 1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 2;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+  const int w = static_cast<int>(png_get_image_width(png, info));
+  const int h = static_cast<int>(png_get_image_height(png, info));
+  if (w != width || h != height) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 3;
+  }
+  const png_byte color = png_get_color_type(png, info);
+  const png_byte depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+  const int channels = png_get_channels(png, info);
+
+  std::vector<png_byte> row(png_get_rowbytes(png, info));
+  for (int y = 0; y < h; ++y) {
+    png_read_row(png, row.data(), nullptr);
+    float* o = out + static_cast<size_t>(y) * w;
+    if (channels == 1) {
+      for (int x = 0; x < w; ++x) o[x] = row[x] / 255.0f;
+    } else {  // RGB: ITU-R 601 luma, rounded like PIL convert("L")
+      for (int x = 0; x < w; ++x) {
+        const float r = row[x * channels + 0];
+        const float g = row[x * channels + 1];
+        const float b = row[x * channels + 2];
+        const float l = 0.299f * r + 0.587f * g + 0.114f * b;
+        o[x] = std::floor(l + 0.5f) / 255.0f;
+      }
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// Stereo block matching (semantics of image/stereo.py::block_match)
+// ---------------------------------------------------------------------
+
+namespace {
+
+// Edge-padded box sum over (2r+1)^2 windows of src (h, w) into dst.
+void box_filter(const float* src, float* dst, int h, int w, int r,
+                std::vector<float>& tmp) {
+  // Horizontal pass with edge padding.
+  tmp.resize(static_cast<size_t>(h) * w);
+  for (int y = 0; y < h; ++y) {
+    const float* s = src + static_cast<size_t>(y) * w;
+    float* t = tmp.data() + static_cast<size_t>(y) * w;
+    double run = 0.0;
+    for (int k = -r; k <= r; ++k) run += s[std::clamp(k, 0, w - 1)];
+    t[0] = static_cast<float>(run);
+    for (int x = 1; x < w; ++x) {
+      run += s[std::clamp(x + r, 0, w - 1)] - s[std::clamp(x - r - 1, 0, w - 1)];
+      t[x] = static_cast<float>(run);
+    }
+  }
+  // Vertical pass with edge padding.
+  for (int x = 0; x < w; ++x) {
+    double run = 0.0;
+    for (int k = -r; k <= r; ++k)
+      run += tmp[static_cast<size_t>(std::clamp(k, 0, h - 1)) * w + x];
+    dst[x] = static_cast<float>(run);
+    for (int y = 1; y < h; ++y) {
+      run += tmp[static_cast<size_t>(std::clamp(y + r, 0, h - 1)) * w + x] -
+             tmp[static_cast<size_t>(std::clamp(y - r - 1, 0, h - 1)) * w + x];
+      dst[static_cast<size_t>(y) * w + x] = static_cast<float>(run);
+    }
+  }
+}
+
+}  // namespace
+
+// disparity/valid: (h, w) outputs. Matches stereo.py block_match.
+int pb_block_match(const float* left, const float* right, int h, int w,
+                   int num_disparities, int min_disparity, int sad_radius,
+                   float uniqueness_ratio, float texture_threshold,
+                   float* disparity, uint8_t* valid) {
+  const int D = num_disparities;
+  const size_t plane = static_cast<size_t>(h) * w;
+  const float inf = std::numeric_limits<float>::infinity();
+  std::vector<float> cost(static_cast<size_t>(D) * plane);
+
+  // Cost volume, parallel over disparity planes.
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<float> ad(plane), tmp;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int di = 0; di < D; ++di) {
+      const int d = min_disparity + di;
+      for (int y = 0; y < h; ++y) {
+        const float* L = left + static_cast<size_t>(y) * w;
+        const float* R = right + static_cast<size_t>(y) * w;
+        float* a = ad.data() + static_cast<size_t>(y) * w;
+        for (int x = 0; x < w; ++x) {
+          // roll(right, d) wraps; wrapped columns are masked below and
+          // never reach an unmasked box sum (see stereo.py).
+          const int xr = x - d >= 0 ? x - d : x - d + w;
+          a[x] = std::fabs(L[x] - R[xr]);
+        }
+      }
+      float* c = cost.data() + static_cast<size_t>(di) * plane;
+      box_filter(ad.data(), c, h, w, sad_radius, tmp);
+      for (int y = 0; y < h; ++y)
+        for (int x = 0; x < d + sad_radius && x < w; ++x)
+          c[static_cast<size_t>(y) * w + x] = inf;
+    }
+  }
+
+  // Texture gate from the left image statistics.
+  std::vector<float> lsum(plane), l2sum(plane);
+  {
+    std::vector<float> sq(plane), tmp;
+    for (size_t i = 0; i < plane; ++i) sq[i] = left[i] * left[i];
+    box_filter(left, lsum.data(), h, w, sad_radius, tmp);
+    box_filter(sq.data(), l2sum.data(), h, w, sad_radius, tmp);
+  }
+  const float n_px = static_cast<float>((2 * sad_radius + 1) * (2 * sad_radius + 1));
+
+  // Winner-take-all + sub-pixel + gates, parallel over rows.
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const size_t px = static_cast<size_t>(y) * w + x;
+      int best = 0;
+      float cmin = cost[px];
+      for (int di = 1; di < D; ++di) {
+        const float c = cost[static_cast<size_t>(di) * plane + px];
+        if (c < cmin) {
+          cmin = c;
+          best = di;
+        }
+      }
+      // Runner-up excluding |d - best| <= 1.
+      float second = inf;
+      for (int di = 0; di < D; ++di) {
+        if (std::abs(di - best) <= 1) continue;
+        second = std::min(second, cost[static_cast<size_t>(di) * plane + px]);
+      }
+      const int d0 = std::clamp(best, 1, D - 2);
+      const float cm = cost[static_cast<size_t>(d0 - 1) * plane + px];
+      const float c0 = cost[static_cast<size_t>(d0) * plane + px];
+      const float cp = cost[static_cast<size_t>(d0 + 1) * plane + px];
+      float delta = 0.0f;
+      if (std::isfinite(cm) && std::isfinite(c0) && std::isfinite(cp)) {
+        const float denom = cm - 2.0f * c0 + cp;
+        if (std::fabs(denom) > 1e-9f)
+          delta = std::clamp(0.5f * (cm - cp) / denom, -0.5f, 0.5f);
+      }
+      float disp = static_cast<float>(best + min_disparity);
+      if (best == d0) disp += delta;
+
+      const bool unique = cmin <= uniqueness_ratio * second;
+      const float mean = lsum[px] / n_px;
+      const float var = l2sum[px] / n_px - mean * mean;
+      const bool textured = std::sqrt(std::max(var, 0.0f)) > texture_threshold;
+      const bool at_edge = best == 0 || best == D - 1;
+      const bool ok = std::isfinite(cmin) && unique && textured && !at_edge;
+      disparity[px] = ok ? disp : 0.0f;
+      valid[px] = ok ? 1 : 0;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// Prefetching frame loader
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct Frame {
+  std::vector<float> image;
+  std::vector<float> depth;
+  std::vector<uint8_t> depth_ok;
+  int status = 0;
+};
+
+struct Loader {
+  std::vector<std::string> left, right;
+  int h = 0, w = 0;
+  int num_disp, min_disp, sad_radius;
+  float uniq, texture;
+  float fx, baseline, min_depth, max_depth;
+  int ahead;
+
+  std::mutex mu;
+  std::condition_variable cv;
+  std::map<int, Frame> ready;
+  std::atomic<int> next_to_produce{0};
+  int consumer_at = 0;
+  bool stop = false;
+  std::vector<std::thread> workers;
+
+  void work() {
+    for (;;) {
+      int idx;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] {
+          return stop || (next_to_produce.load() <
+                              static_cast<int>(left.size()) &&
+                          next_to_produce.load() < consumer_at + ahead);
+        });
+        if (stop) return;
+        idx = next_to_produce.fetch_add(1);
+        if (idx >= static_cast<int>(left.size())) return;
+      }
+      Frame f = produce(idx);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ready.emplace(idx, std::move(f));
+      }
+      cv.notify_all();
+    }
+  }
+
+  Frame produce(int idx) {
+    Frame f;
+    const size_t plane = static_cast<size_t>(h) * w;
+    f.image.resize(plane);
+    f.status = pb_png_read_gray(left[idx].c_str(), f.image.data(), w, h);
+    if (f.status) return f;
+    std::vector<float> rimg(plane);
+    f.status = pb_png_read_gray(right[idx].c_str(), rimg.data(), w, h);
+    if (f.status) return f;
+    std::vector<float> disp(plane);
+    std::vector<uint8_t> dvalid(plane);
+    pb_block_match(f.image.data(), rimg.data(), h, w, num_disp, min_disp,
+                   sad_radius, uniq, texture, disp.data(), dvalid.data());
+    f.depth.resize(plane);
+    f.depth_ok.resize(plane);
+    const float fb = fx * baseline;
+    for (size_t i = 0; i < plane; ++i) {
+      const float z = dvalid[i] && disp[i] > 0.0f
+                          ? fb / std::max(disp[i], 1e-6f)
+                          : 0.0f;
+      const bool ok = dvalid[i] && z > min_depth && z < max_depth;
+      f.depth[i] = z;
+      f.depth_ok[i] = ok ? 1 : 0;
+    }
+    return f;
+  }
+};
+
+}  // namespace
+
+void* pb_loader_create(const char** left_paths, const char** right_paths,
+                       int n_frames, int h, int w, int num_disp, int min_disp,
+                       int sad_radius, float uniqueness_ratio,
+                       float texture_threshold, float fx, float baseline,
+                       float min_depth, float max_depth, int n_threads,
+                       int prefetch_ahead) {
+  auto* L = new Loader();
+  L->left.assign(left_paths, left_paths + n_frames);
+  L->right.assign(right_paths, right_paths + n_frames);
+  L->h = h;
+  L->w = w;
+  L->num_disp = num_disp;
+  L->min_disp = min_disp;
+  L->sad_radius = sad_radius;
+  L->uniq = uniqueness_ratio;
+  L->texture = texture_threshold;
+  L->fx = fx;
+  L->baseline = baseline;
+  L->min_depth = min_depth;
+  L->max_depth = max_depth;
+  L->ahead = std::max(prefetch_ahead, 1);
+  for (int t = 0; t < std::max(n_threads, 1); ++t)
+    L->workers.emplace_back([L] { L->work(); });
+  return L;
+}
+
+// Blocks until frame i is ready; copies into caller buffers. Returns the
+// frame's status (0 = ok).
+int pb_loader_get(void* handle, int i, float* image, float* depth,
+                  uint8_t* depth_ok) {
+  auto* L = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->consumer_at = std::max(L->consumer_at, i);
+  L->cv.notify_all();
+  L->cv.wait(lk, [&] { return L->ready.count(i) > 0; });
+  Frame& f = L->ready[i];
+  const int status = f.status;
+  if (status == 0) {
+    std::memcpy(image, f.image.data(), f.image.size() * sizeof(float));
+    std::memcpy(depth, f.depth.data(), f.depth.size() * sizeof(float));
+    std::memcpy(depth_ok, f.depth_ok.data(), f.depth_ok.size());
+  }
+  L->ready.erase(i);
+  return status;
+}
+
+void pb_loader_destroy(void* handle) {
+  auto* L = static_cast<Loader*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop = true;
+  }
+  L->cv.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
+
+int pb_omp_max_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"
