@@ -36,6 +36,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="initial VO trajectory (KITTI format); defaults to "
                         "the dataset's ground-truth pose file")
     p.add_argument("--log", default=None, help="JSONL solve-record path")
+    p.add_argument("--points-dir", default=None,
+                   help="directory for per-window refined point clouds (npz)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
     p.add_argument("--resume", action="store_true",
                    help="resume from an existing output/checkpoint")
     p.add_argument("overrides", nargs="*",
@@ -53,7 +57,8 @@ def load_config(args) -> PBAConfig:
 
 def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
         output: str = "refined_poses.txt", jsonl_path: str | None = None,
-        resume: bool = False, progress: bool = True):
+        resume: bool = False, progress: bool = True,
+        points_dir: str | None = None, on_window=None):
     """The frame loop (SURVEY.md 3.1). Returns the refined Trajectory."""
     timer = Timer()
     h, w = dataset.image_shape
@@ -86,12 +91,20 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
                 refined.update(result.frame_ids, result.poses)
                 if writer:
                     writer.write(log.window_record(result, {"frame": i}))
+                if points_dir:
+                    os.makedirs(points_dir, exist_ok=True)
+                    np.savez_compressed(
+                        os.path.join(points_dir, f"window_{i:06d}.npz"),
+                        xyz=result.points_xyz, ref_frame=result.points_frame,
+                        frame_ids=result.frame_ids, poses=result.poses)
                 if progress:
                     log.info("%s", result.message())
                 with timer.time("io.checkpoint"):
                     traj_mod.write_poses_kitti(output, refined)
                     with open(ckpt, "w") as f:
                         f.write(str(i))
+                if on_window is not None:
+                    on_window()
     finally:
         if writer:
             writer.close()
@@ -111,8 +124,17 @@ def main(argv=None):
     if not os.path.exists(pose_file):
         log.fatal("initial pose file not found: %s", pose_file)
     init_traj = traj_mod.load_poses_kitti(pose_file)
-    refined = run(cfg, dataset, init_traj, output=args.output,
-                  jsonl_path=args.log, resume=args.resume)
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile_dir:
+        import jax
+
+        prof = jax.profiler.trace(args.profile_dir)
+    with prof:
+        refined = run(cfg, dataset, init_traj, output=args.output,
+                      jsonl_path=args.log, resume=args.resume,
+                      points_dir=args.points_dir)
     log.info("wrote %d refined poses to %s", len(refined), args.output)
     return 0
 

@@ -56,6 +56,10 @@ class WindowResult:
     step_log: np.ndarray = field(default_factory=lambda: np.zeros(0))
     accept_log: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
     solve_time_s: float = 0.0
+    # Refined sparse points that participated in this solve (reference:
+    # Result::refinedPoints) — (M, 3) world positions + their ref frame ids.
+    points_xyz: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    points_frame: np.ndarray = field(default_factory=lambda: np.zeros(0, int))
 
     def message(self) -> str:
         return (
@@ -263,6 +267,7 @@ class PhotometricBundleAdjustment:
         stats = jax.device_get(stats)
         dt = time.perf_counter() - t0
 
+        pv = np.asarray(jax.device_get(point_valid))
         it = int(stats.iterations)
         return WindowResult(
             frame_ids=np.asarray(self.window.frame_ids),
@@ -272,13 +277,15 @@ class PhotometricBundleAdjustment:
             iterations=it,
             accepted_steps=int(stats.accepted_steps),
             termination=lm.TERMINATION_NAMES.get(int(stats.termination), "?"),
-            num_points=int(np.asarray(jax.device_get(point_valid)).sum()),
+            num_points=int(pv.sum()),
             num_residuals=int(stats.n_residuals),
             cost_log=np.asarray(stats.cost_log)[:it],
             lambda_log=np.asarray(stats.lambda_log)[:it],
             step_log=np.asarray(stats.step_log)[:it],
             accept_log=np.asarray(stats.accept_log)[:it],
             solve_time_s=dt,
+            points_xyz=np.asarray(self.points.x_world)[pv],
+            points_frame=np.asarray(self.points.ref_frame)[pv],
         )
 
     @property

@@ -134,3 +134,57 @@ def pose_errors(poses_a, poses_b):
         angles.append(np.arccos(c))
     r_rmse = float(np.sqrt(np.mean(np.square(angles))))
     return t_rmse, r_rmse
+
+
+def write_kitti_dataset(root, sequence, rng, n_frames=10, shape=(96, 160),
+                        fx=100.0, baseline=0.2, motion_scale=0.05,
+                        rot_scale=0.002):
+    """Render a textured-sphere stereo sequence into KITTI odometry layout.
+
+    Returns (poses_gt (N, 4, 4), camera). Creates
+    <root>/sequences/<NN>/{image_0,image_1,calib.txt,times.txt} and
+    <root>/poses/<NN>.txt.
+    """
+    import os
+
+    from PIL import Image
+
+    h, w = shape
+    cam = Camera.create(fx=fx, fy=fx, cx=w / 2 - 0.5, cy=h / 2 - 0.5,
+                        baseline=baseline)
+    seq_dir = os.path.join(root, "sequences", f"{sequence:02d}")
+    os.makedirs(os.path.join(seq_dir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "image_1"), exist_ok=True)
+    os.makedirs(os.path.join(root, "poses"), exist_ok=True)
+
+    tex = make_texture(rng)
+    poses = []
+    t_wc = np.eye(4, dtype=np.float32)
+    for i in range(n_frames):
+        poses.append(t_wc.copy())
+        xi = np.concatenate([
+            rng.standard_normal(3) * motion_scale + np.array([motion_scale, 0, 0]),
+            rng.standard_normal(3) * rot_scale]).astype(np.float32)
+        t_wc = (t_wc @ np.asarray(se3.se3_exp(jnp.asarray(xi)))).astype(np.float32)
+    poses = np.stack(poses)
+
+    for i, p in enumerate(poses):
+        img_l, _ = render_view(tex, cam, p, shape)
+        pr = p.copy()
+        pr[:3, 3] = p[:3, 3] + p[:3, :3] @ np.array([baseline, 0, 0])
+        img_r, _ = render_view(tex, cam, pr, shape)
+        for sub, im in (("image_0", img_l), ("image_1", img_r)):
+            arr = np.clip(im * 255, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(seq_dir, sub, f"{i:06d}.png"))
+
+    with open(os.path.join(seq_dir, "calib.txt"), "w") as f:
+        f.write(f"P0: {fx} 0 {w/2-0.5} 0 0 {fx} {h/2-0.5} 0 0 0 1 0\n")
+        f.write(f"P1: {fx} 0 {w/2-0.5} {-fx*baseline} 0 {fx} {h/2-0.5} 0 "
+                f"0 0 1 0\n")
+    with open(os.path.join(seq_dir, "times.txt"), "w") as f:
+        f.writelines(f"{i*0.1:.6f}\n" for i in range(n_frames))
+    with open(os.path.join(root, "poses", f"{sequence:02d}.txt"), "w") as f:
+        for p in poses:
+            f.write(" ".join(f"{v:.9f}" for v in p[:3].reshape(-1)) + "\n")
+    return poses, cam

@@ -124,3 +124,40 @@ def test_engine_point_depths_sane(scene):
     # Synthetic sphere points are within ~4-16 m of the world origin.
     r = np.linalg.norm(x - np.array([0, 0, 10.0]), axis=1)
     assert (np.abs(r - 6.0) < 1.0).mean() > 0.9
+
+
+@pytest.mark.parametrize("descriptor", ["IntensityAndGradient", "BitPlanes"])
+def test_engine_descriptor_families(scene, descriptor):
+    """Every descriptor family (reference: Intensity | IntensityAndGradient
+    | BitPlanes, pb:src/photobundle.cc DescriptorFrame::Create) must run the
+    full engine loop and reduce trajectory error on jittered input."""
+    cam, images, depths, poses_gt = scene
+    rng = np.random.default_rng(11)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.03, rot_sigma=0.003,
+                         keep_first=2)
+    cfg = small_cfg(descriptor=descriptor, maxIterations=20)
+    refined, results, _ = run_engine(scene, cfg, init)
+    assert results, "no window solves ran"
+    gt = traj_mod.Trajectory(poses_gt.astype(np.float64))
+    a_init = traj_mod.ate_rmse(traj_mod.Trajectory(init.astype(np.float64)),
+                               gt, align=False)
+    a_ref = traj_mod.ate_rmse(refined, gt, align=False)
+    assert np.isfinite(a_ref)
+    assert a_ref < 0.8 * a_init, f"{descriptor}: {a_ref} !< 0.8*{a_init}"
+    for r in results:
+        assert r.final_cost <= r.initial_cost + 1e-9
+
+
+def test_engine_point_cloud_output(scene):
+    cam, images, depths, poses_gt = scene
+    cfg = small_cfg()
+    refined, results, _ = run_engine(scene, cfg, poses_gt.copy())
+    r = results[-1]
+    assert r.points_xyz.shape[0] == r.num_points
+    assert r.points_xyz.shape[1] == 3
+    assert np.isfinite(r.points_xyz).all()
+    # Points were seeded from GT depth at GT poses: they must sit within the
+    # scene's depth budget of the cameras.
+    cam_pos = r.poses[-1][:3, 3]
+    d = np.linalg.norm(r.points_xyz - cam_pos, axis=1)
+    assert (d < 2 * cfg.maxDepth).all()
