@@ -270,20 +270,15 @@ def _prior_terms(f, t_wc_f, y, valid, depth_prior, dtype):
 
 
 def make_pallas_ctx(channels, grads, patch, patch_radius: int):
-    """Prebuilt sampling context for the Pallas backend: interleaved panels
-    (full passes), value panels (cost passes), 2D descriptor patches. Build
-    ONCE per solve and pass to evaluate_compressed — images are
-    loop-invariant across LM iterations and the panel relayout is not free."""
-    from ..ops import patch_stats as ps_mod
+    """Prebuilt sampling context for the Pallas backend: lane-interleaved
+    image panels (ops/patch_warp). Build ONCE per solve and pass to
+    evaluate_compressed — images are loop-invariant across LM iterations
+    and the panel relayout is not free."""
+    from ..ops import patch_warp as pw_mod
 
-    n, c = patch.shape[0], patch.shape[1]
     ps = int(round(patch.shape[2] ** 0.5))
     pr = (ps - 1) // 2
-    return (
-        ps_mod.build_interleaved_panels(channels, grads, pr),
-        ps_mod.build_panels(channels, pr),
-        patch.reshape(n, c, ps, ps),
-    )
+    return (pw_mod.build_interleaved_panels(channels, grads, pr),)
 
 
 def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
@@ -292,9 +287,10 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
                                 interpret: bool,
                                 cost_only: bool = False,
                                 ctx=None) -> CompressedResiduals:
-    """Kernel-backed path: ops/patch_stats does sample+center+reduce fused;
-    only the tiny geometry/prior/whitening algebra stays in XLA."""
-    from ..ops import patch_stats as ps_mod
+    """Kernel-backed path: ops/patch_warp samples (value, gx, gy) patches —
+    the one op XLA gathers ruin — and the stat algebra (means, Grams,
+    Huber) runs as dense XLA, identical to the gather path's math."""
+    from ..ops import patch_warp as pw_mod
 
     n, w = obs_mask.shape
     c = patch.shape[1]
@@ -320,11 +316,17 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
 
     if ctx is None:
         ctx = make_pallas_ctx(channels, grads, patch, pr)
-    panels_full, panels_value, desc = ctx
-    panels = panels_value if cost_only else panels_full
-    gtg, gtr, rnorm2 = ps_mod.patch_stats(panels, uv, valid, desc, pr,
-                                          interpret=interpret,
-                                          cost_only=cost_only)
+    (panels,) = ctx
+    s, gx, gy = pw_mod.warp_patches(panels, uv, valid, pr,
+                                    interpret=interpret)   # (N, W, C, P)
+    s = s - jnp.mean(s, axis=-1, keepdims=True)
+    r = (s - patch[:, None]).reshape(n, w, -1)             # (N, W, D)
+    g_c = jnp.stack([gx - jnp.mean(gx, axis=-1, keepdims=True),
+                     gy - jnp.mean(gy, axis=-1, keepdims=True)],
+                    axis=-1).reshape(n, w, -1, 2)          # (N, W, D, 2)
+    gtg = jnp.einsum("nwdi,nwdj->nwij", g_c, g_c)
+    gtr = jnp.einsum("nwdi,nwd->nwi", g_c, r)
+    rnorm2 = jnp.sum(r * r, axis=-1)
 
     rnorm2 = rnorm2 + rp * rp
     vf = valid.astype(gtg.dtype)

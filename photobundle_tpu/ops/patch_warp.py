@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: bilinear patch warping (sampling only).
+
+Second-generation hot kernel (supersedes ops/patch_stats.py in the LM
+loop). Profiling showed the per-observation cost of the fused
+sample+reduce kernel was dominated by the cross-lane REDUCTIONS on tiny
+(P, P) tiles, not by the loads — while XLA executes the same reductions on
+dense (N*W, ...) tensors at negligible cost. So this kernel does the one
+thing XLA is catastrophically bad at on TPU (the data-dependent window
+gather) and nothing else:
+
+    per observation: one (2R+2, 128) row load -> one dynamic lane roll ->
+    four bilinear taps -> P row stores.
+
+Layout trick: the three planes a channel needs (value, d/dx, d/dy) are
+interleaved across LANES (column 3x+k of a panel is plane k at pixel x),
+so one load covers all three and the bilinear x-shift becomes a static
+lane shift by 3. Panels overlap with a lane stride that is a multiple of 3
+so any window lives in one panel at a lane offset that preserves the
+interleave phase.
+
+All statistics (mean-centering, Gram/residual reductions, Huber) happen in
+plain XLA downstream (core/residuals._evaluate_compressed_pallas).
+Reference counterpart: the interpolation inside Ceres' autodiff cost
+(pb:src/photobundle.cc; SURVEY.md 3.4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PANEL_W = 128
+_MAX_SMEM_CHUNK = 256
+
+
+def lane_stride(patch_radius: int) -> int:
+    """Panel lane stride: multiple of 3 (interleave phase) leaving room for
+    one 3*(2R+2)-lane window."""
+    win_lanes = 3 * (2 * patch_radius + 2)
+    return ((PANEL_W - win_lanes) // 3) * 3
+
+
+def num_panels(width: int, patch_radius: int) -> int:
+    lanes = 3 * width
+    if lanes <= PANEL_W:
+        return 1
+    return int(np.ceil((lanes - PANEL_W) / lane_stride(patch_radius))) + 1
+
+
+def build_interleaved_panels(channels: jax.Array, grads: jax.Array,
+                             patch_radius: int) -> jax.Array:
+    """(W, C, H, Wi) values + (W, C, H, Wi, 2) gradients ->
+    (W, C, NPANEL, H, 128) lane-interleaved overlapping panels."""
+    w, c, h, wi = channels.shape
+    inter = jnp.stack([channels, grads[..., 0], grads[..., 1]],
+                      axis=-1).reshape(w, c, h, 3 * wi)
+    stride = lane_stride(patch_radius)
+    n_pan = num_panels(wi, patch_radius)
+    need = (n_pan - 1) * stride + PANEL_W
+    if need > 3 * wi:
+        inter = jnp.pad(inter, ((0, 0), (0, 0), (0, 0), (0, need - 3 * wi)))
+    pans = [inter[..., p * stride:p * stride + PANEL_W] for p in range(n_pan)]
+    return jnp.stack(pans, axis=2)
+
+
+def _warp_kernel(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, out_ref, *,
+                 chunk: int, patch_radius: int):
+    ps = 2 * patch_radius + 1
+    win = ps + 1
+    unroll = next(u for u in (8, 4, 2, 1) if chunk % u == 0)
+
+    def one(i):
+        y0 = y_ref[0, 0, i]
+        p = pan_ref[0, 0, i]
+        o = off_ref[0, 0, i]
+        fx = fxfy_ref[0, 0, i]
+        fy = fxfy_ref[0, 1, i]
+        w00 = (1.0 - fx) * (1.0 - fy)
+        w01 = fx * (1.0 - fy)
+        w10 = (1.0 - fx) * fy
+        w11 = fx * fy
+        rows = img_ref[0, 0, p, pl.ds(y0, win), :]         # (win, 128)
+        wnd = pltpu.roll(rows, -o, 1)[:, :3 * win]         # (win, 3win)
+        s3 = (w00 * wnd[:ps, :3 * ps] + w01 * wnd[:ps, 3:]
+              + w10 * wnd[1:, :3 * ps] + w11 * wnd[1:, 3:])  # (ps, 3ps)
+        for k in range(ps):
+            out_ref[0, k, i, :] = s3[k]
+
+    def body(g, _):
+        for u in range(unroll):
+            one(g * unroll + u)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_radius", "interpret"))
+def warp_patches(panels: jax.Array, uv: jax.Array, valid: jax.Array,
+                 patch_radius: int, interpret: bool = False):
+    """Bilinear-sample (value, d/dx, d/dy) patches at all observations.
+
+    Args:
+      panels: (W, C, NPANEL, H, 128) from build_interleaved_panels.
+      uv: (N, W, 2) projected pixel coordinates (x, y).
+      valid: (N, W) bool; invalid coords are clamped (mask downstream).
+      patch_radius: R.
+
+    Returns (s, gx, gy), each (N, W, C, P) with P = (2R+1)^2.
+    """
+    n, w, _ = uv.shape
+    c = panels.shape[1]
+    n_pan = panels.shape[2]
+    h = panels.shape[3]
+    stride = lane_stride(patch_radius)
+    ps = 2 * patch_radius + 1
+    win = ps + 1
+
+    x = jnp.where(valid, uv[..., 0], 0.0)
+    y = jnp.where(valid, uv[..., 1], 0.0)
+    x0 = jnp.floor(x).astype(jnp.int32) - patch_radius
+    y0 = jnp.floor(y).astype(jnp.int32) - patch_radius
+    fx = (x - jnp.floor(x)).astype(jnp.float32)
+    fy = (y - jnp.floor(y)).astype(jnp.float32)
+    max_lane0 = (n_pan - 1) * stride + PANEL_W - 3 * win
+    lane0 = jnp.clip(3 * x0, 0, max_lane0)
+    y0 = jnp.clip(y0, 0, h - win)
+    pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
+    off = (lane0 - pan * stride).astype(jnp.int32)
+
+    m = n * w
+    chunk = min(_MAX_SMEM_CHUNK, n)
+    while n % chunk != 0:
+        chunk //= 2
+    steps_per_frame = n // chunk
+    n_steps = m // chunk
+
+    def fm(a):  # (N, W) -> frame-major (n_steps, 1, chunk)
+        return jnp.moveaxis(a, 0, 1).reshape(n_steps, 1, chunk)
+
+    kern = functools.partial(_warp_kernel, chunk=chunk,
+                             patch_radius=patch_radius)
+    smem_vec = lambda: pl.BlockSpec(
+        (1, 1, chunk), lambda ci, s: (s, 0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(c, n_steps),   # channel-major so panel blocks are reused
+        in_specs=[
+            smem_vec(),  # y0
+            smem_vec(),  # panel
+            smem_vec(),  # lane offset
+            pl.BlockSpec((1, 2, chunk), lambda ci, s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_pan, h, PANEL_W),
+                         lambda ci, s: (s // steps_per_frame, ci, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ps, chunk, 3 * ps),
+                               lambda ci, s: (ci, 0, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, ps, m, 3 * ps), jnp.float32),
+        interpret=interpret,
+    )(
+        fm(y0), fm(pan), fm(off),
+        jnp.stack([jnp.moveaxis(fx, 0, 1).reshape(n_steps, chunk),
+                   jnp.moveaxis(fy, 0, 1).reshape(n_steps, chunk)], axis=1),
+        panels.astype(jnp.float32),
+    )
+
+    # (C, PS, m, 3PS) -> (N, W, C, P) per plane. Lane index = 3*wx + k.
+    out = out.reshape(c, ps, w, n, ps, 3)
+    out = jnp.moveaxis(out, (3, 2, 0), (0, 1, 2))       # (N, W, C, PSy, PSx, 3)
+    s = out[..., 0].reshape(n, w, c, ps * ps)
+    gx = out[..., 1].reshape(n, w, c, ps * ps)
+    gy = out[..., 2].reshape(n, w, c, ps * ps)
+    return s, gx, gy
