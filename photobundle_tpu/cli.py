@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of the run here")
     p.add_argument("--resume", action="store_true",
                    help="resume from an existing output/checkpoint")
+    p.add_argument("--snapshot-every", type=int, default=0,
+                   help="write a full engine-state snapshot every K windows "
+                        "(bitwise-exact resume; 0 = off, resume re-ingests)")
     p.add_argument("overrides", nargs="*",
                    help="key=value config overrides (reference CLI behavior)")
     return p
@@ -58,7 +61,8 @@ def load_config(args) -> PBAConfig:
 def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
         output: str = "refined_poses.txt", jsonl_path: str | None = None,
         resume: bool = False, progress: bool = True,
-        points_dir: str | None = None, on_window=None):
+        points_dir: str | None = None, on_window=None,
+        snapshot_every: int = 0):
     """The frame loop (SURVEY.md 3.1). Returns the refined Trajectory."""
     timer = Timer()
     h, w = dataset.image_shape
@@ -68,13 +72,21 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
                                   list(init_traj.frame_ids))
     start = 0
     ckpt = output + ".ckpt"
+    snap = output + ".state.npz"
     if resume and os.path.exists(ckpt):
         with open(ckpt) as f:
             start = int(f.read().strip())
-        log.info("resuming from frame %d", start)
-        # Windows overlapping the resume point are re-solved; the engine
-        # state rebuilds as frames [start - W + 1, start) are re-ingested.
-        start = max(0, start - cfg.slidingWindowSize + 1)
+        if snapshot_every > 0 and os.path.exists(snap):
+            # Bitwise-exact resume: the snapshot records its own frame
+            # counter (it may be older than the .ckpt frame).
+            pba.load_state(snap)
+            start = pba._frame_count
+            log.info("resuming from snapshot at frame %d", start)
+        else:
+            log.info("resuming from frame %d", start)
+            # Windows overlapping the resume point are re-solved; the engine
+            # state rebuilds as frames [start - W + 1, start) are re-ingested.
+            start = max(0, start - cfg.slidingWindowSize + 1)
 
     writer = log.JsonlWriter(jsonl_path) if jsonl_path else None
     n = min(len(dataset), len(init_traj))
@@ -101,6 +113,8 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
                     log.info("%s", result.message())
                 with timer.time("io.checkpoint"):
                     traj_mod.write_poses_kitti(output, refined)
+                    if snapshot_every > 0 and i % snapshot_every == 0:
+                        pba.save_state(snap)
                     with open(ckpt, "w") as f:
                         f.write(str(i))
                 if on_window is not None:
@@ -134,7 +148,8 @@ def main(argv=None):
     with prof:
         refined = run(cfg, dataset, init_traj, output=args.output,
                       jsonl_path=args.log, resume=args.resume,
-                      points_dir=args.points_dir)
+                      points_dir=args.points_dir,
+                      snapshot_every=args.snapshot_every)
     log.info("wrote %d refined poses to %s", len(refined), args.output)
     return 0
 

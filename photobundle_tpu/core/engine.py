@@ -21,6 +21,7 @@ I/O-bound); everything per-frame is device-side.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -291,3 +292,33 @@ class PhotometricBundleAdjustment:
     @property
     def num_active_points(self) -> int:
         return int(self.points.num_active())
+
+    # ------------------------------------------------------------------ #
+    # state snapshots (SURVEY.md 5.4: optimizer-state snapshot for long
+    # multi-host runs — bitwise-exact resume, unlike the re-ingest path)
+    # ------------------------------------------------------------------ #
+    def save_state(self, path: str) -> None:
+        """Serialize the full device state (point table + window ring +
+        frame counter) to one npz. ~tens of MB at KITTI scale — intended
+        for periodic snapshots, not per-window writes."""
+        state = {}
+        for name, arr in self.points._asdict().items():
+            state[f"points.{name}"] = np.asarray(arr)
+        for name, arr in self.window._asdict().items():
+            state[f"window.{name}"] = np.asarray(arr)
+        state["frame_count"] = np.asarray(self._frame_count)
+        tmp = path + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **state)
+        os.replace(tmp, path)
+
+    def load_state(self, path: str) -> None:
+        """Restore a save_state snapshot (shapes must match the config)."""
+        data = np.load(path)
+        self.points = self.points._replace(**{
+            name: jnp.asarray(data[f"points.{name}"])
+            for name in self.points._fields})
+        self.window = self.window._replace(**{
+            name: jnp.asarray(data[f"window.{name}"])
+            for name in self.window._fields})
+        self._frame_count = int(data["frame_count"])

@@ -161,3 +161,38 @@ def test_engine_point_cloud_output(scene):
     cam_pos = r.poses[-1][:3, 3]
     d = np.linalg.norm(r.points_xyz - cam_pos, axis=1)
     assert (d < 2 * cfg.maxDepth).all()
+
+
+def test_engine_state_snapshot_exact_resume(scene, tmp_path):
+    """save_state/load_state must make a resumed engine bitwise-equivalent:
+    continuing after a snapshot produces the same window results as the
+    uninterrupted run (SURVEY.md 5.4 optimizer-state snapshot)."""
+    cam, images, depths, poses_gt = scene
+    cfg = small_cfg(maxIterations=8)
+
+    # Uninterrupted run.
+    pba_a = PhotometricBundleAdjustment(cam, images[0].shape, cfg)
+    res_a = []
+    for i, (img, depth) in enumerate(zip(images, depths)):
+        r = pba_a.add_frame(img, depth, poses_gt[i])
+        if i == 5:
+            pba_a.save_state(str(tmp_path / "snap.npz"))
+        if r is not None:
+            res_a.append(r)
+
+    # Interrupted: fresh engine, restore after frame 5, continue.
+    pba_b = PhotometricBundleAdjustment(cam, images[0].shape, cfg)
+    pba_b.load_state(str(tmp_path / "snap.npz"))
+    assert pba_b._frame_count == 6
+    res_b = []
+    for i in range(6, len(images)):
+        r = pba_b.add_frame(images[i], depths[i], poses_gt[i])
+        if r is not None:
+            res_b.append(r)
+
+    tail_a = res_a[-len(res_b):]
+    assert len(res_b) == len(tail_a) > 0
+    for ra, rb in zip(tail_a, res_b):
+        np.testing.assert_array_equal(ra.frame_ids, rb.frame_ids)
+        np.testing.assert_allclose(ra.poses, rb.poses, atol=1e-7)
+        np.testing.assert_allclose(ra.final_cost, rb.final_cost, rtol=1e-5)
