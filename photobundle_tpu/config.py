@@ -153,6 +153,13 @@ class PBAConfig:
                                           # matches jax.grad exactly)
     meshPoints: int = 1                   # chips along the point axis
     meshWindows: int = 1                  # data-parallel window/sequence axis
+    transportCompress: bool = True        # uint8 images on the host->device
+                                          # path (lossless for 8-bit
+                                          # sources; 4x less transfer)
+    transportDepth16: bool = False        # float16 depth transport — lossy
+                                          # (~5e-4 relative): fine for noisy
+                                          # stereo depth, wrong for
+                                          # millimeter-accurate seeds
     dataLoader: str = "auto"              # 'auto' | 'native' | 'python' —
                                           # native = C++ libpng decode +
                                           # OpenMP stereo BM + prefetch

@@ -105,6 +105,8 @@ class PhotometricBundleAdjustment:
         self.window = state.init_window(cfg, self.level_shape)
         self.points = state.init_point_table(cfg)
         self._frame_count = 0
+        self._window_count = 0  # host mirror of window.count (avoids a
+                                # device readback per frame)
         self._sharded_solver = sharded_solver
 
         self._ingest = jax.jit(self._ingest_impl, donate_argnums=(0, 1))
@@ -127,8 +129,12 @@ class PhotometricBundleAdjustment:
         depth_ok_l = depth_ok[::s, ::s]
         return lvl, depth_l, depth_ok_l
 
-    def _ingest_impl(self, window, points, image, depth, depth_ok, t_wc, frame_id):
+    def _ingest_impl(self, window, points, image, depth, t_wc, frame_id):
         cfg = self.cfg
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        depth = depth.astype(jnp.float32)
+        depth_ok = depth > 0
         lvl, depth_l, ok_l = self._prepare_level(image, depth, depth_ok)
         window, points = state.push_frame(
             window, lvl.channels, lvl.grads, lvl.saliency, t_wc, frame_id,
@@ -239,23 +245,40 @@ class PhotometricBundleAdjustment:
         """
         import time
 
-        image = np.asarray(image, np.float32)
-        if image.max() > 2.0:  # 8-bit input
-            image = image / 255.0
+        # Host->device transport. Over remote/tunneled backends bandwidth
+        # and round-trips dominate the frame loop, so (a) images travel as
+        # uint8 and depth as float16 when lossless-enough (cfg
+        # transportCompress), (b) validity rides inside depth (invalid = 0),
+        # and (c) NOTHING below blocks on the device until a window solve's
+        # single batched fetch.
+        image = np.asarray(image)
+        if image.dtype != np.uint8:
+            image = np.asarray(image, np.float32)
+            if image.max() > 2.0:  # 8-bit-scaled input
+                image = image * np.float32(1.0 / 255.0)
+            if self.cfg.transportCompress:
+                s = image * 255.0
+                r = np.rint(s)
+                if np.abs(s - r).max() < 1e-3:  # exactly 8-bit data
+                    image = r.astype(np.uint8)
         depth = np.asarray(depth, np.float32)
-        if depth_valid is None:
-            depth_valid = depth > 0
+        if depth_valid is not None:
+            depth = np.where(depth_valid, depth, 0.0)
+        if self.cfg.transportDepth16:
+            depth = depth.astype(np.float16)
         if frame_id is None:
             frame_id = self._frame_count
         self._frame_count = frame_id + 1
+        self._window_count = min(self._window_count + 1,
+                                 self.cfg.slidingWindowSize)
 
         self.window, self.points, diag = self._ingest(
             self.window, self.points,
-            jnp.asarray(image), jnp.asarray(depth), jnp.asarray(depth_valid),
+            jnp.asarray(image), jnp.asarray(depth),
             jnp.asarray(t_wc, jnp.float32), jnp.asarray(frame_id, jnp.int32),
         )
 
-        if int(self.window.count) < self.cfg.slidingWindowSize:
+        if self._window_count < self.cfg.slidingWindowSize:
             return None
 
         t0 = time.perf_counter()
@@ -265,14 +288,17 @@ class PhotometricBundleAdjustment:
         else:
             self.window, self.points, stats, point_valid = self._optimize(
                 self.window, self.points)
-        stats = jax.device_get(stats)
+        # ONE batched device fetch per window (each separate fetch costs a
+        # full round-trip on tunneled backends).
+        stats, frame_ids, poses, pv, xw, rf = jax.device_get(
+            (stats, self.window.frame_ids, self.window.t_wc, point_valid,
+             self.points.x_world, self.points.ref_frame))
         dt = time.perf_counter() - t0
 
-        pv = np.asarray(jax.device_get(point_valid))
         it = int(stats.iterations)
         return WindowResult(
-            frame_ids=np.asarray(self.window.frame_ids),
-            poses=np.asarray(self.window.t_wc),
+            frame_ids=frame_ids,
+            poses=poses,
             initial_cost=float(stats.initial_cost),
             final_cost=float(stats.final_cost),
             iterations=it,
@@ -285,8 +311,8 @@ class PhotometricBundleAdjustment:
             step_log=np.asarray(stats.step_log)[:it],
             accept_log=np.asarray(stats.accept_log)[:it],
             solve_time_s=dt,
-            points_xyz=np.asarray(self.points.x_world)[pv],
-            points_frame=np.asarray(self.points.ref_frame)[pv],
+            points_xyz=xw[pv],
+            points_frame=rf[pv],
         )
 
     @property
@@ -322,3 +348,4 @@ class PhotometricBundleAdjustment:
             name: jnp.asarray(data[f"window.{name}"])
             for name in self.window._fields})
         self._frame_count = int(data["frame_count"])
+        self._window_count = int(data["window.count"])

@@ -81,6 +81,13 @@ def select_new_points(
     h, w = saliency_map.shape
     n = points.capacity
 
+    # Quantize saliency before any ranking: selection must be stable under
+    # 1-ulp perturbations (different XLA fusions of the image-normalization
+    # multiply reassociate the gradient arithmetic), otherwise NMS/top-k
+    # tie-breaks — and hence the whole refinement — depend on the transport
+    # dtype. 2^-14 granularity is far below any meaningful saliency gap.
+    saliency_map = jnp.floor(saliency_map * 16384.0) * (1.0 / 16384.0)
+
     nms = saliency_mod.non_max_suppression(saliency_map, nms_radius, min_saliency)
     occupied = _tracked_occupancy((h, w), tracked_uv, tracked, mask_radius)
 

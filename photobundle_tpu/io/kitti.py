@@ -47,7 +47,9 @@ def _imread_gray(path: str) -> np.ndarray:
         from PIL import Image
 
         img = np.asarray(Image.open(path).convert("L"))
-    return (img.astype(np.float32)) / 255.0
+    # Multiply by the f32 reciprocal (not /255) so pixels match the
+    # device-side uint8 dequantization bitwise (engine transport path).
+    return img.astype(np.float32) * np.float32(1.0 / 255.0)
 
 
 def parse_kitti_calib(path: str):

@@ -100,14 +100,14 @@ int pb_png_read_gray(const char* path, float* out, int width, int height) {
     png_read_row(png, row.data(), nullptr);
     float* o = out + static_cast<size_t>(y) * w;
     if (channels == 1) {
-      for (int x = 0; x < w; ++x) o[x] = row[x] / 255.0f;
+      for (int x = 0; x < w; ++x) o[x] = row[x] * (1.0f / 255.0f);
     } else {  // RGB: ITU-R 601 luma, rounded like PIL convert("L")
       for (int x = 0; x < w; ++x) {
         const float r = row[x * channels + 0];
         const float g = row[x * channels + 1];
         const float b = row[x * channels + 2];
         const float l = 0.299f * r + 0.587f * g + 0.114f * b;
-        o[x] = std::floor(l + 0.5f) / 255.0f;
+        o[x] = std::floor(l + 0.5f) * (1.0f / 255.0f);
       }
     }
   }
