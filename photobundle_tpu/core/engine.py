@@ -21,6 +21,7 @@ I/O-bound); everything per-frame is device-side.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -108,6 +109,15 @@ class PhotometricBundleAdjustment:
         self._window_count = 0  # host mirror of window.count (avoids a
                                 # device readback per frame)
         self._sharded_solver = sharded_solver
+        self._mesh = None
+        if cfg.meshPoints > 1:
+            if cfg.maxNumPoints % cfg.meshPoints != 0:
+                raise ValueError(
+                    f"maxNumPoints {cfg.maxNumPoints} not divisible by "
+                    f"meshPoints {cfg.meshPoints}")
+            from ..parallel import make_mesh
+
+            self._mesh = make_mesh(points=cfg.meshPoints)
 
         self._ingest = jax.jit(self._ingest_impl, donate_argnums=(0, 1))
         self._optimize = jax.jit(self._optimize_impl, donate_argnums=(0, 1))
@@ -184,33 +194,49 @@ class PhotometricBundleAdjustment:
         ).astype(jnp.int32)
         in_window = jnp.any(points.ref_frame[:, None] == window.frame_ids[None, :], axis=1)
         ref_slot = jnp.where(in_window, ref_slot, -1)
-        depth_prior = (
-            (ref_slot, points.inv_depth_seed, self._prior_scale)
-            if cfg.depthPriorWeight > 0 else None
-        )
+        def solve(t_wc0, x_world0, patch, channels, grads, obs, pv, frz,
+                  ref_slot_s, seed_s, reduce_fn=None):
+            depth_prior = (
+                (ref_slot_s, seed_s, self._prior_scale)
+                if cfg.depthPriorWeight > 0 else None
+            )
+            return lm.lm_solve(
+                self.camera, t_wc0, x_world0, patch, channels, grads, obs,
+                pv, frz, self.offsets,
+                huber_delta=cfg.robustThreshold,
+                gradient_mode=cfg.gradientMode,
+                backend=cfg.resolve_backend(),
+                depth_prior=depth_prior,
+                max_iterations=cfg.maxIterations,
+                initial_lambda=cfg.initialLambda,
+                min_lambda=cfg.minLambda,
+                max_lambda=cfg.maxLambda,
+                function_tolerance=cfg.functionTolerance,
+                parameter_tolerance=cfg.parameterTolerance,
+                reduce_fn=reduce_fn,
+            )
 
-        t_wc, x_world, stats = lm.lm_solve(
-            self.camera,
-            window.t_wc,
-            points.x_world,
-            points.patch,
-            window.channels,
-            window.grads,
-            points.obs,
-            point_valid,
-            frozen,
-            self.offsets,
-            huber_delta=cfg.robustThreshold,
-            gradient_mode=cfg.gradientMode,
-            backend=cfg.resolve_backend(),
-            depth_prior=depth_prior,
-            max_iterations=cfg.maxIterations,
-            initial_lambda=cfg.initialLambda,
-            min_lambda=cfg.minLambda,
-            max_lambda=cfg.maxLambda,
-            function_tolerance=cfg.functionTolerance,
-            parameter_tolerance=cfg.parameterTolerance,
-        )
+        args = (window.t_wc, points.x_world, points.patch, window.channels,
+                window.grads, points.obs, point_valid, frozen, ref_slot,
+                points.inv_depth_seed)
+        if self._mesh is not None:
+            # Points-sharded multi-chip solve (SURVEY.md 2b residual-block
+            # sharding): point tensors sharded, window tensors replicated,
+            # cross-shard reduction = psum inside lm_solve.
+            from jax.sharding import PartitionSpec as P
+
+            pt, rep = P("points"), P()
+            t_wc, x_world, stats = jax.shard_map(
+                functools.partial(
+                    solve,
+                    reduce_fn=lambda x: jax.lax.psum(x, "points")),
+                mesh=self._mesh,
+                in_specs=(rep, pt, pt, rep, rep, pt, pt, rep, pt, pt),
+                out_specs=(rep, pt, lm.LMStats(*([rep] * 10))),
+                check_vma=False,
+            )(*args)
+        else:
+            t_wc, x_world, stats = solve(*args)
         # Points excluded from the solve (fresh single-observation points)
         # were positioned with their reference frame's PRE-solve pose; move
         # them rigidly with that frame (X <- T_new T_old^{-1} X) so they stay

@@ -88,3 +88,41 @@ def test_batched_multi_window_solver(rng):
                                 max_iterations=6)
     np.testing.assert_allclose(np.asarray(t_ref[0]), np.asarray(t_a),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def scene_mod():
+    from synthetic import make_sequence
+
+    rng = np.random.default_rng(3)
+    cam, images, depths, poses = make_sequence(rng, n_frames=8, shape=(96, 144))
+    return cam, images, depths, poses
+
+
+def test_engine_mesh_points_matches_single_device(scene_mod):
+    """Full engine with cfg.meshPoints=4 (points-sharded solve under
+    shard_map) must match the single-device engine's refined trajectory —
+    the gauge-consistency requirement of SURVEY.md 'hard parts'."""
+    import numpy as np
+    from photobundle_tpu.core.engine import PhotometricBundleAdjustment
+    from test_engine import small_cfg
+
+    cam, images, depths, poses_gt = scene_mod
+    rng = np.random.default_rng(5)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.02, rot_sigma=0.002,
+                         keep_first=2)
+
+    results = {}
+    for mesh_pts in (1, 4):
+        cfg = small_cfg(maxNumPoints=256, maxPointsPerFrame=64,
+                        maxIterations=10, meshPoints=mesh_pts)
+        pba = PhotometricBundleAdjustment(cam, images[0].shape, cfg)
+        poses = []
+        for i, (img, depth) in enumerate(zip(images, depths)):
+            r = pba.add_frame(img, depth, init[i])
+            if r is not None:
+                poses.append(r.poses.copy())
+        results[mesh_pts] = poses
+    assert len(results[1]) == len(results[4]) > 0
+    for pa, pb in zip(results[1], results[4]):
+        np.testing.assert_allclose(pa, pb, atol=5e-5)
