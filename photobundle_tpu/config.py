@@ -151,6 +151,10 @@ class PBAConfig:
                                           # gradient images, DSO-style) or
                                           # 'exact' (bilinear-surface grad,
                                           # matches jax.grad exactly)
+    interpolation: str = "bilinear"       # 'bilinear' (spec default, Pallas
+                                          # fast path) or 'bicubic'
+                                          # (Catmull-Rom, Ceres parity —
+                                          # XLA path, exact surface grads)
     meshPoints: int = 1                   # chips along the point axis
     meshWindows: int = 1                  # data-parallel window/sequence axis
     transportCompress: bool = True        # uint8 images on the host->device
@@ -184,14 +188,21 @@ class PBAConfig:
         """Residual dimension per observation: |patch| * channels."""
         return self.patch_size * self.patch_size * self.num_channels
 
+    def resolve_gradient_mode(self) -> str:
+        """The residual-path sampling mode: bicubic interpolation implies
+        its own exact surface gradients (Ceres behavior)."""
+        return "bicubic" if self.interpolation == "bicubic" else self.gradientMode
+
     def resolve_backend(self) -> str:
-        """'auto' -> fused Pallas kernel on TPU (sampled gradients), else XLA."""
+        """'auto' -> fused Pallas kernel on TPU (bilinear sampled-gradient
+        path), else XLA."""
         if self.solverBackend != "auto":
             return self.solverBackend
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        return "pallas" if (on_tpu and self.gradientMode == "sampled") else "xla"
+        return "pallas" if (on_tpu and self.gradientMode == "sampled"
+                            and self.interpolation == "bilinear") else "xla"
 
     def validate(self) -> "PBAConfig":
         if self.descriptor not in _DESCRIPTOR_CHANNELS:
@@ -202,6 +213,8 @@ class PBAConfig:
             raise ValueError("numFixedPoses out of range")
         if self.gradientMode not in ("sampled", "exact"):
             raise ValueError(f"unknown gradientMode '{self.gradientMode}'")
+        if self.interpolation not in ("bilinear", "bicubic"):
+            raise ValueError(f"unknown interpolation '{self.interpolation}'")
         if self.solverBackend not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown solverBackend '{self.solverBackend}'")
         if self.dataLoader not in ("auto", "native", "python"):

@@ -204,7 +204,7 @@ class PhotometricBundleAdjustment:
                 self.camera, t_wc0, x_world0, patch, channels, grads, obs,
                 pv, frz, self.offsets,
                 huber_delta=cfg.robustThreshold,
-                gradient_mode=cfg.gradientMode,
+                gradient_mode=cfg.resolve_gradient_mode(),
                 backend=cfg.resolve_backend(),
                 depth_prior=depth_prior,
                 max_iterations=cfg.maxIterations,

@@ -107,7 +107,13 @@ def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str):
     Returns s (N, C, P), g (N, C, P, 2), valid (N,).
     """
     pts = uv[:, None, :] + offsets                        # (N, P, 2)
-    if gradient_mode == "exact":
+    if gradient_mode == "bicubic":
+        # Ceres-parity mode: Catmull-Rom surface with its exact gradient
+        # (the reference samples through ceres::BiCubicInterpolator).
+        s, g, ok = interp.bicubic_with_grad(channels_f, pts)
+        s = jnp.moveaxis(s, 0, 1)
+        g = jnp.moveaxis(g, 0, 1)
+    elif gradient_mode == "exact":
         s, g, ok = interp.bilinear_with_grad(channels_f, pts)   # (C,N,P), (C,N,P,2)
         s = jnp.moveaxis(s, 0, 1)
         g = jnp.moveaxis(g, 0, 1)

@@ -118,6 +118,72 @@ def bilinear_with_grad(img: jax.Array, uv: jax.Array):
     return values, grad, valid
 
 
+def _catmull_rom_weights(t: jax.Array):
+    """Catmull-Rom weights for taps at offsets (-1, 0, 1, 2), t in [0, 1).
+
+    The same cubic Hermite spline Ceres' BiCubicInterpolator evaluates
+    (reference: pb:src/photobundle.cc samples channels through
+    ceres::BiCubicInterpolator<Grid2D>; SURVEY.md 3.4)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = 0.5 * (-t3 + 2.0 * t2 - t)
+    w1 = 0.5 * (3.0 * t3 - 5.0 * t2 + 2.0)
+    w2 = 0.5 * (-3.0 * t3 + 4.0 * t2 + t)
+    w3 = 0.5 * (t3 - t2)
+    return w0, w1, w2, w3
+
+
+def _catmull_rom_dweights(t: jax.Array):
+    """d/dt of the Catmull-Rom weights (for analytic spatial gradients)."""
+    t2 = t * t
+    d0 = 0.5 * (-3.0 * t2 + 4.0 * t - 1.0)
+    d1 = 0.5 * (9.0 * t2 - 10.0 * t)
+    d2 = 0.5 * (-9.0 * t2 + 8.0 * t + 1.0)
+    d3 = 0.5 * (3.0 * t2 - 2.0 * t)
+    return d0, d1, d2, d3
+
+
+def bicubic_with_grad(img: jax.Array, uv: jax.Array):
+    """Catmull-Rom bicubic sample + analytic surface gradient.
+
+    img: (H, W) or (C, H, W); uv (..., 2) as [x, y]. Returns
+    (values, grad (..., 2), valid) like bilinear_with_grad. The 4x4 support
+    needs one pixel of margin on every side; `valid` is True where the full
+    support is interior. Out-of-range taps are clamped (finite values,
+    masked downstream). C1-continuous — smoother LM convergence than
+    bilinear at ~4x the sampling cost; this is the Ceres-parity mode."""
+    H, W = img.shape[-2], img.shape[-1]
+    x = uv[..., 0]
+    y = uv[..., 1]
+    valid = (x >= 1) & (x <= W - 3) & (y >= 1) & (y <= H - 3)
+    xc = jnp.clip(x, 1.0, jnp.asarray(W - 3, img.dtype) - 1e-5)
+    yc = jnp.clip(y, 1.0, jnp.asarray(H - 3, img.dtype) - 1e-5)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    tx = xc - x0.astype(img.dtype)
+    ty = yc - y0.astype(img.dtype)
+
+    wx = _catmull_rom_weights(tx)
+    wy = _catmull_rom_weights(ty)
+    dwx = _catmull_rom_dweights(tx)
+    dwy = _catmull_rom_dweights(ty)
+
+    # Row-interpolate 4 rows (value + x-derivative), then column-combine.
+    rows = []
+    drows = []
+    for j in range(4):
+        yj = jnp.clip(y0 + (j - 1), 0, H - 1)
+        taps = [_gather2d(img, yj, jnp.clip(x0 + (i - 1), 0, W - 1))
+                for i in range(4)]
+        rows.append(sum(w * p for w, p in zip(wx, taps)))
+        drows.append(sum(d * p for d, p in zip(dwx, taps)))
+    values = sum(w * r for w, r in zip(wy, rows))
+    gx = sum(w * r for w, r in zip(wy, drows))
+    gy = sum(d * r for d, r in zip(dwy, rows))
+    grad = jnp.stack([gx, gy], axis=-1)
+    return values, grad, valid
+
+
 def image_gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Central-difference gradients (gx, gy), replicated borders.
 

@@ -196,3 +196,19 @@ def test_engine_state_snapshot_exact_resume(scene, tmp_path):
         np.testing.assert_array_equal(ra.frame_ids, rb.frame_ids)
         np.testing.assert_allclose(ra.poses, rb.poses, atol=1e-7)
         np.testing.assert_allclose(ra.final_cost, rb.final_cost, rtol=1e-5)
+
+
+def test_engine_bicubic_interpolation(scene):
+    """cfg.interpolation='bicubic' (Ceres-parity sampling) end to end."""
+    cam, images, depths, poses_gt = scene
+    rng = np.random.default_rng(11)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.03, rot_sigma=0.003,
+                         keep_first=2)
+    cfg = small_cfg(interpolation="bicubic", maxIterations=20)
+    refined, results, _ = run_engine(scene, cfg, init)
+    assert results
+    gt = traj_mod.Trajectory(poses_gt.astype(np.float64))
+    a_init = traj_mod.ate_rmse(traj_mod.Trajectory(init.astype(np.float64)),
+                               gt, align=False)
+    a_ref = traj_mod.ate_rmse(refined, gt, align=False)
+    assert a_ref < 0.8 * a_init, (a_init, a_ref)

@@ -141,3 +141,51 @@ def test_sampled_mode_close_to_exact(rng):
     jb = np.asarray(b.j_pose).reshape(-1)
     corr = np.corrcoef(ja, jb)[0, 1]
     assert corr > 0.85, corr
+
+
+def test_bicubic_jacobians_match_autodiff(rng):
+    """gradient_mode='bicubic' (Ceres-parity sampling): the factored
+    analytic Jacobians must match jax.grad through the Catmull-Rom
+    interpolation, as the reference's autodiff does."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=5)
+    x = x + 0.01
+
+    def residual_fn(xi_all, x_all):
+        t = jnp.einsum("wij,wjk->wik", t_wc, se3.se3_exp(xi_all))
+        out = res_mod.evaluate(cam, t, x_all, patch, ch, g, obs, off,
+                               huber_delta=1e9, gradient_mode="bicubic")
+        return out.r
+
+    out = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                           huber_delta=1e9, gradient_mode="bicubic")
+    xi0 = jnp.zeros((t_wc.shape[0], 6))
+    j_pose_auto = jax.jacfwd(residual_fn, argnums=0)(xi0, x)
+    j_point_auto = jax.jacfwd(residual_fn, argnums=1)(xi0, x)
+    n, w, d = out.r.shape
+    for p in range(n):
+        for f in range(w):
+            np.testing.assert_allclose(
+                np.asarray(out.j_pose[p, f]),
+                np.asarray(j_pose_auto[p, f, :, f, :]), atol=2e-4,
+                err_msg=f"pose jac p={p} f={f}")
+            np.testing.assert_allclose(
+                np.asarray(out.j_point[p, f]),
+                np.asarray(j_point_auto[p, f, :, p, :]), atol=2e-4,
+                err_msg=f"point jac p={p} f={f}")
+
+
+def test_bicubic_compressed_matches_full(rng):
+    from photobundle_tpu.core import schur
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=7)
+    kw = dict(huber_delta=0.05, gradient_mode="bicubic")
+    full = res_mod.evaluate(cam, t_wc, x + 0.01, patch, ch, g, obs, off, **kw)
+    comp = res_mod.evaluate_compressed(cam, t_wc, x + 0.01, patch, ch, g,
+                                       obs, off, **kw)
+    np.testing.assert_allclose(float(comp.cost), float(full.cost), rtol=1e-5)
+    eq_a = schur.build_normal_equations_compressed(comp)
+    eq_b = schur.build_normal_equations(full)
+    for name in ("hpp", "hpc", "hcc", "bp", "bc"):
+        np.testing.assert_allclose(np.asarray(getattr(eq_a, name)),
+                                   np.asarray(getattr(eq_b, name)),
+                                   atol=2e-3, rtol=1e-4, err_msg=name)
