@@ -94,3 +94,114 @@ def block_match(
     at_edge = (best == 0) | (best == num_disparities - 1)
     valid = jnp.isfinite(cmin) & unique & textured & ~at_edge
     return jnp.where(valid, disparity, 0.0), valid
+
+
+def _aggregate_dir_h(cost: jax.Array, p1: float, p2: float,
+                     reverse: bool) -> jax.Array:
+    """Horizontal SGM path: scan over x carrying (H, D) path costs."""
+    d_axis = cost.shape[0]
+    # (D, H, W) -> (W, H, D) scan elements
+    seq = jnp.moveaxis(cost, (0, 1, 2), (2, 1, 0))
+
+    def step(carry, c):
+        # carry (H, D): aggregated cost at previous pixel along the path
+        prev_min = jnp.min(carry, axis=-1, keepdims=True)
+        lo = jnp.pad(carry, ((0, 0), (1, 0)), constant_values=jnp.inf)[:, :-1]
+        hi = jnp.pad(carry, ((0, 0), (0, 1)), constant_values=jnp.inf)[:, 1:]
+        best = jnp.minimum(
+            jnp.minimum(carry, prev_min + p2),
+            jnp.minimum(lo + p1, hi + p1))
+        out = c + best - prev_min
+        return out, out
+
+    # First pixel along the path has no predecessor: its aggregated cost
+    # is the raw cost; seed the scan with it.
+    first = seq[-1] if reverse else seq[0]
+    if reverse:
+        _, rest = jax.lax.scan(step, first, seq[:-1], reverse=True)
+        out = jnp.concatenate([rest, first[None]], axis=0)
+    else:
+        _, rest = jax.lax.scan(step, first, seq[1:], reverse=False)
+        out = jnp.concatenate([first[None], rest], axis=0)
+    return jnp.moveaxis(out, (0, 1, 2), (2, 1, 0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_disparities", "min_disparity", "sad_radius"))
+def semi_global_match(
+    left: jax.Array,
+    right: jax.Array,
+    num_disparities: int = 64,
+    min_disparity: int = 1,
+    sad_radius: int = 2,
+    p1: float = 0.03,
+    p2: float = 0.4,
+    uniqueness_ratio: float = 0.97,
+    texture_threshold: float = 0.02,
+) -> tuple[jax.Array, jax.Array]:
+    """Semi-global matching — the reference's cv::StereoSGBM counterpart.
+
+    SAD matching costs (same base cost as block_match, smaller default
+    window) aggregated along 4 scanline directions (left/right/up/down —
+    OpenCV's SGBM default mode aggregates 5 paths; 4-path is the standard
+    TPU/GPU formulation) with the Hirschmueller P1/P2 smoothness model,
+    then the same winner-take-all + sub-pixel + gating postprocessing as
+    block_match. Each direction is one `lax.scan` whose carry is a full
+    scanline's (pixels, D) cost slice — compiler-friendly control flow, no
+    data-dependent shapes.
+    """
+    h, w = left.shape
+    disps = jnp.arange(min_disparity, min_disparity + num_disparities)
+
+    def sad_at(d):
+        shifted = jnp.roll(right, d, axis=1)
+        ad = jnp.abs(left - shifted)
+        c = _box_filter(ad, sad_radius)
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        # Finite sentinel (not inf): path aggregation propagates values
+        # along rows, and inf would poison every pixel behind it.
+        big = jnp.asarray(1e4, c.dtype)
+        return jnp.where(col >= d + sad_radius, c, big)
+
+    cost = jax.vmap(sad_at)(disps)                    # (D, H, W)
+
+    # 4-path aggregation: horizontal pair + vertical pair (via transpose).
+    agg = _aggregate_dir_h(cost, p1, p2, reverse=False)
+    agg = agg + _aggregate_dir_h(cost, p1, p2, reverse=True)
+    cost_t = jnp.swapaxes(cost, 1, 2)
+    agg_v = _aggregate_dir_h(cost_t, p1, p2, reverse=False)
+    agg_v = agg_v + _aggregate_dir_h(cost_t, p1, p2, reverse=True)
+    cost_sum = agg + jnp.swapaxes(agg_v, 1, 2)        # (D, H, W)
+
+    best = jnp.argmin(cost_sum, axis=0)
+    cmin = jnp.min(cost_sum, axis=0)
+
+    d0 = jnp.clip(best, 1, num_disparities - 2)
+    take = lambda idx: jnp.take_along_axis(cost_sum, idx[None], axis=0)[0]
+    cm = take(d0 - 1)
+    c0 = take(d0)
+    cp = take(d0 + 1)
+    denom = cm - 2 * c0 + cp
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (cm - cp) / jnp.where(denom == 0, 1.0, denom), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    disparity = (best + min_disparity).astype(jnp.float32) + jnp.where(
+        best == d0, delta, 0.0)
+
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, cost_sum.shape, 0)
+    masked = jnp.where(jnp.abs(d_idx - best[None]) <= 1, jnp.inf, cost_sum)
+    second = jnp.min(masked, axis=0)
+    unique = cmin <= uniqueness_ratio * second
+
+    k = 2 * sad_radius + 1
+    n_px = float(k * k)
+    mean = _box_filter(left, sad_radius) / n_px
+    var = _box_filter(left * left, sad_radius) / n_px - mean * mean
+    textured = jnp.sqrt(jnp.maximum(var, 0.0)) > texture_threshold
+
+    # Reject pixels whose raw cost at the winner was the sentinel (no
+    # valid correspondence) and disparity-range edges.
+    raw_at_best = jnp.take_along_axis(cost, best[None], axis=0)[0]
+    at_edge = (best == 0) | (best == num_disparities - 1)
+    valid = (raw_at_best < 1e3) & unique & textured & ~at_edge
+    return jnp.where(valid, disparity, 0.0), valid

@@ -105,8 +105,9 @@ class KittiStereoDataset:
         self._stereo_fn = None
         self._native = None
         mode = getattr(self.cfg, "dataLoader", "auto")
-        if mode in ("auto", "native") and self.cfg.stereoAlgorithm.upper() in (
-                "BM", "SGBM"):
+        # The native C++ pipeline implements BM; SGBM runs as the JAX
+        # semi-global matcher in the Python path.
+        if mode in ("auto", "native") and self.cfg.stereoAlgorithm.upper() == "BM":
             from .. import native
 
             if native.available():
@@ -146,7 +147,10 @@ class KittiStereoDataset:
             from ..image import stereo as stereo_mod
             import jax
 
-            disp, valid = stereo_mod.block_match(
+            match = (stereo_mod.semi_global_match
+                     if cfg.stereoAlgorithm.upper() == "SGBM"
+                     else stereo_mod.block_match)
+            disp, valid = match(
                 left, right,
                 num_disparities=cfg.numDisparities,
                 min_disparity=cfg.minDisparity,

@@ -121,3 +121,21 @@ def test_kitti_dataset_from_files(tmp_path, rng):
     assert valid_depths.size > 100
     med = np.median(valid_depths)
     assert abs(med - expected_depth) / expected_depth < 0.05, (med, expected_depth)
+
+
+def test_kitti_dataset_sgbm(tmp_path, rng):
+    """stereoAlgorithm=SGBM routes through the semi-global matcher."""
+    from synthetic import write_kitti_dataset
+    from photobundle_tpu.config import PBAConfig
+    from photobundle_tpu.io import kitti as K
+
+    write_kitti_dataset(str(tmp_path), 0, rng, n_frames=2, shape=(64, 96))
+    cfg = PBAConfig(dataDir=str(tmp_path), sequence=0,
+                    stereoAlgorithm="SGBM", numDisparities=32,
+                    sadWindowSize=5, minDepth=0.5, maxDepth=60.0)
+    ds = K.create_dataset(cfg)
+    assert ds._native is None  # SGBM runs in the Python/JAX path
+    f = ds.get_frame(0)
+    assert f.depth_valid.any()
+    d = f.depth[f.depth_valid]
+    assert np.isfinite(d).all() and (d > 0.5).all() and (d < 60.0).all()

@@ -59,3 +59,43 @@ def test_block_match_subpixel(rng):
     assert valid.mean() > 0.3
     err = np.abs(disp[valid] - d_true)
     assert np.median(err) < 0.35, np.median(err)
+
+
+class TestSGBM:
+    def test_recovers_constant_disparity(self, rng):
+        from test_native import _stereo_pair
+        from photobundle_tpu.image import stereo
+
+        left, right = _stereo_pair(rng, h=64, w=96, disp=7.3)
+        disp, valid = stereo.semi_global_match(
+            jnp.asarray(left), jnp.asarray(right),
+            num_disparities=24, min_disparity=1, sad_radius=2)
+        disp, valid = np.asarray(disp), np.asarray(valid)
+        assert valid.mean() > 0.3
+        med = np.median(disp[valid])
+        assert abs(med - 7.3) < 0.5, med
+        # sub-pixel spread should be tight on this noiseless pair
+        assert np.abs(disp[valid] - 7.3).mean() < 0.35
+
+    def test_smoother_than_bm_in_low_texture(self, rng):
+        """SGM's smoothness prior should keep more valid pixels and less
+        disparity variance than BM on a weakly textured pair."""
+        from test_native import _stereo_pair
+        from photobundle_tpu.image import stereo
+
+        left, right = _stereo_pair(rng, h=64, w=96, disp=6.0)
+        # wash out texture
+        left = 0.5 + (left - 0.5) * 0.15
+        right = 0.5 + (right - 0.5) * 0.15
+        kw = dict(num_disparities=24, min_disparity=1)
+        d_bm, v_bm = stereo.block_match(jnp.asarray(left), jnp.asarray(right),
+                                        sad_radius=2, texture_threshold=0.005,
+                                        **kw)
+        d_sg, v_sg = stereo.semi_global_match(
+            jnp.asarray(left), jnp.asarray(right), sad_radius=2,
+            texture_threshold=0.005, **kw)
+        d_bm, v_bm = np.asarray(d_bm), np.asarray(v_bm)
+        d_sg, v_sg = np.asarray(d_sg), np.asarray(v_sg)
+        err_bm = np.abs(d_bm[v_bm] - 6.0).mean() if v_bm.any() else np.inf
+        err_sg = np.abs(d_sg[v_sg] - 6.0).mean() if v_sg.any() else np.inf
+        assert err_sg <= err_bm + 0.05, (err_sg, err_bm)
