@@ -98,6 +98,10 @@ class PBAConfig:
     nonMaxSuppRadius: int = 1
     minSaliency: float = 0.01             # saliency floor (images are [0,1])
     maskBlockRadius: int = 1              # block masked around tracked points
+    numThreads: int = 4                   # host worker threads (reference:
+                                          # Options::numThreads for Ceres /
+                                          # OpenMP; here: native data-loader
+                                          # decode+stereo pool)
     minScore: float = 0.75                # ZNCC visibility gate
     maxFrameDistance: int = 1             # max age (frames) for re-tracking
     minDepth: float = 0.1

@@ -121,7 +121,7 @@ class KittiStereoDataset:
                     fx=float(self.camera.fx),
                     baseline=float(self.camera.baseline),
                     min_depth=self.cfg.minDepth, max_depth=self.cfg.maxDepth,
-                    n_threads=max(2, getattr(self.cfg, "numThreads", 2)),
+                    n_threads=max(2, self.cfg.numThreads),
                     prefetch_ahead=4)
             elif mode == "native":
                 from .. import native as _n
