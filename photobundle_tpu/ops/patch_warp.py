@@ -72,7 +72,7 @@ def _warp_kernel(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, out_ref, *,
                  chunk: int, patch_radius: int):
     ps = 2 * patch_radius + 1
     win = ps + 1
-    unroll = next(u for u in (8, 4, 2, 1) if chunk % u == 0)
+    unroll = next(u for u in (16, 8, 4, 2, 1) if chunk % u == 0)
 
     def one(i):
         y0 = y_ref[0, 0, i]
