@@ -98,6 +98,10 @@ class PBAConfig:
     nonMaxSuppRadius: int = 1
     minSaliency: float = 0.01             # saliency floor (images are [0,1])
     maskBlockRadius: int = 1              # block masked around tracked points
+    motionPriorWeight: float = 0.0        # relative-pose prior anchoring
+                                          # consecutive window poses to the
+                                          # VO initialization (1/sigma in
+                                          # twist units; 0 = reference-exact)
     numThreads: int = 4                   # host worker threads (reference:
                                           # Options::numThreads for Ceres /
                                           # OpenMP; here: native data-loader

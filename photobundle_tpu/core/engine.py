@@ -207,6 +207,7 @@ class PhotometricBundleAdjustment:
                 gradient_mode=cfg.resolve_gradient_mode(),
                 backend=cfg.resolve_backend(),
                 depth_prior=depth_prior,
+                motion_prior_weight=cfg.motionPriorWeight,
                 max_iterations=cfg.maxIterations,
                 initial_lambda=cfg.initialLambda,
                 min_lambda=cfg.minLambda,

@@ -76,6 +76,7 @@ def lm_solve(
     gradient_mode: str = "sampled",
     backend: str = "xla",
     depth_prior: tuple | None = None,
+    motion_prior_weight: float = 0.0,
     max_iterations: int = 50,
     initial_lambda: float = 1e-4,
     min_lambda: float = 1e-10,
@@ -111,8 +112,46 @@ def lm_solve(
                                    gradient_mode, depth_prior=depth_prior,
                                    backend=backend, ctx=ctx)
 
+    # Relative-pose motion prior (no reference counterpart): anchors each
+    # consecutive window pair's relative pose to its initialization,
+    #   r_f = w_m * log(rel0_f^{-1} (T_{f-1}^{-1} T_f)),   f = 1..W-1,
+    # with first-order Jacobians dr/dxi_f = w_m I and
+    # dr/dxi_{f-1} = -w_m Ad(rel_f^{-1}). Suppresses gauge wander when the
+    # photometric signal is weak (low texture, tiny windows); weight 0
+    # reproduces reference behavior exactly. Everything here is replicated
+    # pose math — identical on all shards, never psummed.
+    wm = motion_prior_weight
+    use_motion = wm > 0.0
+    w_sz = t_wc.shape[0]
+    rel0 = se3.se3_inverse(t_wc[:-1]) @ t_wc[1:] if use_motion else None
+
+    def prior_cost_terms(t):
+        if not use_motion:
+            return jnp.asarray(0.0, t.dtype)
+        rel = se3.se3_inverse(t[:-1]) @ t[1:]
+        r = wm * se3.se3_log(se3.se3_inverse(rel0) @ rel)
+        return 0.5 * jnp.sum(r * r)
+
+    def prior_system(t):
+        """(hcc_diag (W,6,6), coupling (W,W,6,6) off-diag, bc (W,6))."""
+        rel = se3.se3_inverse(t[:-1]) @ t[1:]
+        r = wm * se3.se3_log(se3.se3_inverse(rel0) @ rel)     # (W-1, 6)
+        ad = se3.adjoint(se3.se3_inverse(rel))                # (W-1, 6, 6)
+        eye6 = jnp.eye(6, dtype=t.dtype)
+        idx = jnp.arange(w_sz - 1)
+        hd = jnp.zeros((w_sz, 6, 6), t.dtype)
+        hd = hd.at[idx + 1].add(wm * wm * eye6[None])
+        hd = hd.at[idx].add(wm * wm * jnp.einsum("fki,fkj->fij", ad, ad))
+        coup = jnp.zeros((w_sz, w_sz, 6, 6), t.dtype)
+        coup = coup.at[idx, idx + 1].add(-wm * wm * jnp.swapaxes(ad, -1, -2))
+        coup = coup.at[idx + 1, idx].add(-wm * wm * ad)
+        bc = jnp.zeros((w_sz, 6), t.dtype)
+        bc = bc.at[idx + 1].add(-wm * r)
+        bc = bc.at[idx].add(wm * jnp.einsum("fki,fk->fi", ad, r))
+        return hd, coup, bc
+
     res0 = eval_stats(t_wc, x_world)
-    init_cost = reduce_fn(res0.cost)
+    init_cost = reduce_fn(res0.cost) + prior_cost_terms(t_wc)
     n_res = reduce_fn(res0.n_residuals)
 
     def body(st: _LoopState) -> _LoopState:
@@ -126,18 +165,24 @@ def lm_solve(
         eq = schur.build_normal_equations_compressed(res)
         # Cross-shard reduction of pose-side blocks (points stay local).
         eq = eq._replace(hcc=reduce_fn(eq.hcc), bc=reduce_fn(eq.bc))
+        coupling = None
+        if use_motion:
+            # Added AFTER the psum — the prior is replicated pose math.
+            hd, coupling, bc_p = prior_system(st.t_wc)
+            eq = eq._replace(hcc=eq.hcc + hd, bc=eq.bc + bc_p)
         # Freeze poses with no support (empty slots) in addition to gauge.
         obs_per_frame = reduce_fn(jnp.sum(res.valid.astype(jnp.int32), axis=0))
         frz = frozen | (obs_per_frame == 0)
 
         sys_parts = schur.reduce_camera_system(eq, st.lam, point_valid, frz,
-                                               reduce_fn=reduce_fn)
+                                               reduce_fn=reduce_fn,
+                                               pose_coupling=coupling)
         dc, dp = schur.solve_reduced(sys_parts)
 
         t_new = se3.retract_right(st.t_wc, dc)
         x_new = st.x_world + dp
         res_new = eval_stats(t_new, x_new)
-        new_cost = reduce_fn(res_new.cost)
+        new_cost = reduce_fn(res_new.cost) + prior_cost_terms(t_new)
 
         pred = schur.predicted_reduction(eq, st.lam, dc, dp, reduce_fn=reduce_fn)
         pred = jnp.maximum(pred, 1e-20)

@@ -123,7 +123,8 @@ class SchurSystem(NamedTuple):
 
 
 def reduce_camera_system(eq: NormalEq, lam: jax.Array, point_valid: jax.Array,
-                         frozen: jax.Array, reduce_fn=None) -> SchurSystem:
+                         frozen: jax.Array, reduce_fn=None,
+                         pose_coupling: jax.Array | None = None) -> SchurSystem:
     """Eliminate point blocks; assemble the reduced (6W, 6W) camera system.
 
     frozen: (W,) bool — gauge-fixed poses (identity rows/cols, zero rhs).
@@ -145,6 +146,10 @@ def reduce_camera_system(eq: NormalEq, lam: jax.Array, point_valid: jax.Array,
     hcc_d = _damped(eq.hcc, lam)
     s = -s_off
     s = s.at[jnp.arange(w), jnp.arange(w)].add(hcc_d)
+    if pose_coupling is not None:
+        # Off-diagonal pose-pose blocks (e.g. the relative-motion prior);
+        # replicated — must NOT go through reduce_fn.
+        s = s + pose_coupling
     rhs = eq.bc - reduce_fn(jnp.einsum("nfji,nj->fi", t, eq.bp))  # (W, 6)
 
     # Gauge fixing: frozen pose blocks become identity rows/cols with zero

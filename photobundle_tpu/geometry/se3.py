@@ -166,3 +166,16 @@ def rotation_geodesic_distance(Ra: jax.Array, Rb: jax.Array) -> jax.Array:
     RtR = jnp.swapaxes(Ra, -1, -2) @ Rb
     trace = RtR[..., 0, 0] + RtR[..., 1, 1] + RtR[..., 2, 2]
     return jnp.arccos(jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0))
+
+
+def adjoint(T: jax.Array) -> jax.Array:
+    """SE3 adjoint Ad_T (6x6, batched over leading dims) mapping twists
+    between frames: Ad_T @ xi changes the frame a right-perturbation acts
+    in. Twist convention [rho | omega] (translation first, matching
+    se3_exp/se3_log)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, hat(t) @ R], axis=-1)     # d rho
+    bot = jnp.concatenate([z, R], axis=-1)              # d omega
+    return jnp.concatenate([top, bot], axis=-2)

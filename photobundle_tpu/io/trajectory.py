@@ -141,3 +141,26 @@ def kitti_translation_error(est: Trajectory, gt: Trajectory,
             err = np.linalg.inv(rel_gt) @ rel_est
             errs.append(np.linalg.norm(err[:3, 3]) / max(length, 1e-9))
     return float(np.mean(errs) * 100.0) if errs else 0.0
+
+
+def kitti_rotation_error(est: Trajectory, gt: Trajectory,
+                         lengths=(100, 200, 300, 400, 500, 600, 700, 800)) -> float:
+    """KITTI odometry benchmark rotational error (deg / 100 m, averaged
+    over subsequence lengths) — the paper's second accuracy axis."""
+    n = min(len(est), len(gt))
+    if n < 2:
+        return 0.0
+    p = gt.positions()[:n]
+    dist = np.concatenate([[0.0], np.cumsum(np.linalg.norm(np.diff(p, axis=0), axis=1))])
+    errs = []
+    for length in lengths:
+        for i in range(0, n, 10):
+            js = np.searchsorted(dist, dist[i] + length)
+            if js >= n:
+                break
+            rel_gt = np.linalg.inv(gt.poses[i]) @ gt.poses[js]
+            rel_est = np.linalg.inv(est.poses[i]) @ est.poses[js]
+            err = np.linalg.inv(rel_gt) @ rel_est
+            c = np.clip((np.trace(err[:3, :3]) - 1) / 2, -1, 1)
+            errs.append(np.degrees(np.arccos(c)) / max(length, 1e-9))
+    return float(np.mean(errs) * 100.0) if errs else 0.0

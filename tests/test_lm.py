@@ -135,3 +135,70 @@ def test_lm_gauge_invariance_of_relative_poses(rng):
     rel_a = np.asarray(se3.se3_inverse(t_a[0]) @ t_a[3])
     rel_b = np.asarray(se3.se3_inverse(t_b[0]) @ t_b[3])
     np.testing.assert_allclose(rel_a, rel_b, atol=5e-4)
+
+
+def test_motion_prior_holds_poses_without_texture(rng):
+    """With a strong relative-pose prior and (near) zero photometric
+    gradient, the solver must keep the window's relative poses at their
+    initialization instead of wandering in the gauge null space."""
+    from test_residuals import setup_problem
+    from photobundle_tpu.geometry import se3
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=10, w=4)
+    # Kill the texture: constant images -> zero gradients, zero residual
+    # signal (patches re-extracted from the flat image are zero-mean too).
+    ch = jnp.full_like(ch, 0.5)
+    g = jnp.zeros_like(g)
+    patch = jnp.zeros_like(patch)
+    frozen = jnp.asarray([True] + [False] * 3)
+    pv = jnp.ones((x.shape[0],), bool)
+
+    t_out, x_out, stats = lm.lm_solve(
+        cam, t_wc, x, patch, ch, g, obs, pv, frozen, off,
+        huber_delta=0.05, motion_prior_weight=50.0, max_iterations=8)
+    rel_in = np.asarray(se3.se3_inverse(t_wc[:-1]) @ t_wc[1:])
+    rel_out = np.asarray(se3.se3_inverse(t_out[:-1]) @ t_out[1:])
+    np.testing.assert_allclose(rel_out, rel_in, atol=1e-4)
+
+
+def test_motion_prior_zero_matches_reference_path(rng):
+    """Weight 0 must be bit-identical to the no-prior code path."""
+    from test_residuals import setup_problem
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=8, w=3)
+    frozen = jnp.asarray([True, False, False])
+    pv = jnp.ones((x.shape[0],), bool)
+    kw = dict(huber_delta=0.05, max_iterations=6)
+    a = lm.lm_solve(cam, t_wc, x + 0.01, patch, ch, g, obs, pv, frozen, off,
+                    motion_prior_weight=0.0, **kw)
+    b = lm.lm_solve(cam, t_wc, x + 0.01, patch, ch, g, obs, pv, frozen, off,
+                    **kw)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_motion_prior_strength_ordering(rng):
+    """The prior anchors to the INITIALIZATION, so with a jittered init a
+    stronger prior permits less correction — refinement quality must order
+    monotonically with weight, and a weak prior must still correct most of
+    the error."""
+    from test_residuals import setup_problem
+    from photobundle_tpu.geometry import se3
+    from synthetic import pose_errors
+
+    cam, t_wc_gt, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=24, w=4)
+    xi = rng.standard_normal((4, 6)).astype(np.float32) * 0.01
+    xi[:1] = 0
+    t_init = jnp.asarray(np.asarray(t_wc_gt @ se3.se3_exp(jnp.asarray(xi))))
+    frozen = jnp.asarray([True] + [False] * 3)
+    pv = jnp.ones((x.shape[0],), bool)
+    errs = {}
+    for wm in (0.0, 1.0, 5.0):
+        t_out, _, _ = lm.lm_solve(
+            cam, t_init, x, patch, ch, g, obs, pv, frozen, off,
+            huber_delta=0.05, motion_prior_weight=wm, max_iterations=25)
+        errs[wm], _ = pose_errors(np.asarray(t_out), np.asarray(t_wc_gt))
+    e_init, _ = pose_errors(np.asarray(t_init), np.asarray(t_wc_gt))
+    assert errs[0.0] < 0.6 * e_init          # free solve corrects most
+    assert errs[0.0] <= errs[1.0] <= errs[5.0] + 1e-9  # monotone anchoring
+    assert errs[1.0] < 0.85 * e_init         # weak prior still refines
