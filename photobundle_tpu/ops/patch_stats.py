@@ -1,9 +1,17 @@
 """Pallas TPU kernel: fused patch sampling + Gauss-Newton sufficient stats.
 
-This is the framework's hottest kernel — the TPU-native replacement for the
-reference's innermost Ceres autodiff loop (pb:src/photobundle.cc residual
-functor over a BiCubicInterpolator; SURVEY.md section 3.4) and the Pallas
-milestone of SURVEY.md section 7 step 7.
+STATUS: superseded in the production LM loop by ops/patch_warp.py.
+Measured on TPU v5e, the fully-fused design below spends most of its
+per-observation budget on cross-lane reductions over tiny (P, P) tiles
+(~227 ns/obs) — the warp-only kernel + dense-XLA statistics runs the same
+math at ~91 ns/obs. This module is kept as the measured fusion baseline
+(its equivalence tests also pin the stat math both kernels must satisfy)
+and as the starting point if a future TPU generation makes small-tile
+reductions cheap.
+
+Original role: the TPU-native replacement for the reference's innermost
+Ceres autodiff loop (pb:src/photobundle.cc residual functor over a
+BiCubicInterpolator; SURVEY.md section 3.4).
 
 Why a kernel: XLA lowers per-pixel bilinear sampling to element gathers,
 which run at ~100M elem/s on TPU — the entire LM iteration was gather-bound.

@@ -212,3 +212,26 @@ def test_engine_bicubic_interpolation(scene):
                                gt, align=False)
     a_ref = traj_mod.ate_rmse(refined, gt, align=False)
     assert a_ref < 0.8 * a_init, (a_init, a_ref)
+
+
+def test_engine_refinement_level(scene):
+    """refinementLevel=1: the solve runs on the half-resolution pyramid
+    level (reference: descriptor frames are built per pyramid level and BA
+    refines at a configured level)."""
+    cam, images, depths, poses_gt = scene
+    rng = np.random.default_rng(11)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.03, rot_sigma=0.003,
+                         keep_first=2)
+    # Half-resolution tracking needs level-appropriate gates: blurred
+    # patches score lower ZNCC and the pixel budget shrinks 4x.
+    cfg = small_cfg(pyramidLevels=2, refinementLevel=1, patchRadius=1,
+                    maxIterations=20, minSaliency=0.002, minScore=0.4,
+                    maxFrameDistance=2, nonMaxSuppRadius=1, maskBlockRadius=1)
+    refined, results, pba = run_engine(scene, cfg, init)
+    assert results
+    assert pba.level_shape == (48, 72)
+    gt = traj_mod.Trajectory(poses_gt.astype(np.float64))
+    a_init = traj_mod.ate_rmse(traj_mod.Trajectory(init.astype(np.float64)),
+                               gt, align=False)
+    a_ref = traj_mod.ate_rmse(refined, gt, align=False)
+    assert a_ref < a_init, (a_init, a_ref)
