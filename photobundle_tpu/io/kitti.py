@@ -105,9 +105,8 @@ class KittiStereoDataset:
         self._stereo_fn = None
         self._native = None
         mode = getattr(self.cfg, "dataLoader", "auto")
-        # The native C++ pipeline implements BM; SGBM runs as the JAX
-        # semi-global matcher in the Python path.
-        if mode in ("auto", "native") and self.cfg.stereoAlgorithm.upper() == "BM":
+        if mode in ("auto", "native") and self.cfg.stereoAlgorithm.upper() in (
+                "BM", "SGBM"):
             from .. import native
 
             if native.available():
@@ -122,7 +121,8 @@ class KittiStereoDataset:
                     baseline=float(self.camera.baseline),
                     min_depth=self.cfg.minDepth, max_depth=self.cfg.maxDepth,
                     n_threads=max(2, self.cfg.numThreads),
-                    prefetch_ahead=4)
+                    prefetch_ahead=4,
+                    algorithm=self.cfg.stereoAlgorithm.upper())
             elif mode == "native":
                 from .. import native as _n
 

@@ -67,9 +67,16 @@ def _load():
         lib.pb_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_int, ctypes.c_int]
+            ctypes.c_float, ctypes.c_int, ctypes.c_int]
+        lib.pb_sgbm.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.pb_sgbm.restype = ctypes.c_int
         lib.pb_loader_create.restype = ctypes.c_void_p
         lib.pb_loader_get.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
@@ -116,6 +123,27 @@ def imread_gray(path: str) -> np.ndarray:
     return out
 
 
+def semi_global_match(left: np.ndarray, right: np.ndarray, *,
+                      num_disparities: int = 64, min_disparity: int = 1,
+                      sad_radius: int = 2, p1: float = 0.03, p2: float = 0.4,
+                      uniqueness_ratio: float = 0.97,
+                      texture_threshold: float = 0.02):
+    """OpenMP 4-path SGM; same semantics as image/stereo.semi_global_match."""
+    lib = _load()
+    left = np.ascontiguousarray(left, np.float32)
+    right = np.ascontiguousarray(right, np.float32)
+    h, w = left.shape
+    disp = np.empty((h, w), np.float32)
+    valid = np.empty((h, w), np.uint8)
+    rc = lib.pb_sgbm(
+        _fptr(left), _fptr(right), h, w, num_disparities, min_disparity,
+        sad_radius, p1, p2, uniqueness_ratio, texture_threshold, _fptr(disp),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc:
+        raise RuntimeError(f"pb_sgbm -> {rc}")
+    return disp, valid.astype(bool)
+
+
 def block_match(left: np.ndarray, right: np.ndarray, *,
                 num_disparities: int = 64, min_disparity: int = 1,
                 sad_radius: int = 4, uniqueness_ratio: float = 0.97,
@@ -149,7 +177,7 @@ class PrefetchingLoader:
                  uniqueness_ratio: float, texture_threshold: float,
                  fx: float, baseline: float, min_depth: float,
                  max_depth: float, n_threads: int = 2,
-                 prefetch_ahead: int = 4):
+                 prefetch_ahead: int = 4, algorithm: str = "BM"):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native loader unavailable: {_build_error}")
@@ -161,10 +189,12 @@ class PrefetchingLoader:
             *[p.encode() for p in left_paths])
         self._rbuf = (ctypes.c_char_p * self._n)(
             *[p.encode() for p in right_paths])
+        algo = 1 if algorithm.upper() == "SGBM" else 0
         self._handle = lib.pb_loader_create(
             self._lbuf, self._rbuf, self._n, h, w, num_disparities,
-            min_disparity, sad_radius, uniqueness_ratio, texture_threshold,
-            fx, baseline, min_depth, max_depth, n_threads, prefetch_ahead)
+            min_disparity, sad_radius, algo, uniqueness_ratio,
+            texture_threshold, fx, baseline, min_depth, max_depth,
+            n_threads, prefetch_ahead)
         self._lib = lib
 
     def __len__(self):

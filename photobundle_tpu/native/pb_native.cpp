@@ -252,6 +252,146 @@ int pb_block_match(const float* left, const float* right, int h, int w,
   return 0;
 }
 
+// Semi-global matching — mirrors image/stereo.py::semi_global_match
+// (4 scanline paths, Hirschmueller P1/P2, finite cost sentinel).
+int pb_sgbm(const float* left, const float* right, int h, int w,
+            int num_disparities, int min_disparity, int sad_radius,
+            float p1, float p2, float uniqueness_ratio,
+            float texture_threshold, float* disparity, uint8_t* valid) {
+  const int D = num_disparities;
+  const size_t plane = static_cast<size_t>(h) * w;
+  const float big = 1e4f;
+  // Pixel-major cost layout (plane, D): the aggregation inner loop runs
+  // over D, so contiguity along D is what matters.
+  std::vector<float> cost(plane * D);
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<float> ad(plane), boxed(plane), tmp;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int di = 0; di < D; ++di) {
+      const int d = min_disparity + di;
+      for (int y = 0; y < h; ++y) {
+        const float* L = left + static_cast<size_t>(y) * w;
+        const float* R = right + static_cast<size_t>(y) * w;
+        float* a = ad.data() + static_cast<size_t>(y) * w;
+        for (int x = 0; x < w; ++x) {
+          const int xr = x - d >= 0 ? x - d : x - d + w;
+          a[x] = std::fabs(L[x] - R[xr]);
+        }
+      }
+      box_filter(ad.data(), boxed.data(), h, w, sad_radius, tmp);
+      for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+          const size_t px = static_cast<size_t>(y) * w + x;
+          cost[px * D + di] = x >= d + sad_radius ? boxed[px] : big;
+        }
+    }
+  }
+
+  std::vector<float> agg(plane * D, 0.0f);
+  // One path: walk pixels px0, px0+step, ... (npix steps) accumulating DP.
+  auto run_path = [&](size_t px0, long step, int npix) {
+    std::vector<float> prev(D), cur(D);
+    size_t px = px0;
+    for (int k = 0; k < npix; ++k, px += step) {
+      const float* c = cost.data() + px * D;
+      float* s = agg.data() + px * D;
+      if (k == 0) {
+        for (int d = 0; d < D; ++d) {
+          cur[d] = c[d];
+          s[d] += cur[d];
+        }
+      } else {
+        float pmin = prev[0];
+        for (int d = 1; d < D; ++d) pmin = std::min(pmin, prev[d]);
+        for (int d = 0; d < D; ++d) {
+          float best = std::min(prev[d], pmin + p2);
+          if (d > 0) best = std::min(best, prev[d - 1] + p1);
+          if (d + 1 < D) best = std::min(best, prev[d + 1] + p1);
+          cur[d] = c[d] + best - pmin;
+          s[d] += cur[d];
+        }
+      }
+      std::swap(prev, cur);
+    }
+  };
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int y = 0; y < h; ++y) {
+    run_path(static_cast<size_t>(y) * w, 1, w);                    // ->
+    run_path(static_cast<size_t>(y) * w + (w - 1), -1, w);         // <-
+  }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int x = 0; x < w; ++x) {
+    run_path(static_cast<size_t>(x), w, h);                        // v
+    run_path(static_cast<size_t>(h - 1) * w + x, -static_cast<long>(w), h);
+  }
+
+  // Texture gate (same statistics as BM).
+  std::vector<float> lsum(plane), l2sum(plane);
+  {
+    std::vector<float> sq(plane), tmp;
+    for (size_t i = 0; i < plane; ++i) sq[i] = left[i] * left[i];
+    box_filter(left, lsum.data(), h, w, sad_radius, tmp);
+    box_filter(sq.data(), l2sum.data(), h, w, sad_radius, tmp);
+  }
+  const float n_px =
+      static_cast<float>((2 * sad_radius + 1) * (2 * sad_radius + 1));
+  const float inf = std::numeric_limits<float>::infinity();
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const size_t px = static_cast<size_t>(y) * w + x;
+      const float* s = agg.data() + px * D;
+      int best = 0;
+      float cmin = s[0];
+      for (int d = 1; d < D; ++d)
+        if (s[d] < cmin) {
+          cmin = s[d];
+          best = d;
+        }
+      float second = inf;
+      for (int d = 0; d < D; ++d) {
+        if (std::abs(d - best) <= 1) continue;
+        second = std::min(second, s[d]);
+      }
+      const int d0 = std::clamp(best, 1, D - 2);
+      const float cm = s[d0 - 1];
+      const float c0 = s[d0];
+      const float cp = s[d0 + 1];
+      float delta = 0.0f;
+      const float denom = cm - 2.0f * c0 + cp;
+      if (std::fabs(denom) > 1e-9f)
+        delta = std::clamp(0.5f * (cm - cp) / denom, -0.5f, 0.5f);
+      float disp = static_cast<float>(best + min_disparity);
+      if (best == d0) disp += delta;
+
+      const bool unique = cmin <= uniqueness_ratio * second;
+      const float mean = lsum[px] / n_px;
+      const float var = l2sum[px] / n_px - mean * mean;
+      const bool textured = std::sqrt(std::max(var, 0.0f)) > texture_threshold;
+      const bool at_edge = best == 0 || best == D - 1;
+      const bool has_match = cost[px * D + best] < 1e3f;
+      const bool ok = has_match && unique && textured && !at_edge;
+      disparity[px] = ok ? disp : 0.0f;
+      valid[px] = ok ? 1 : 0;
+    }
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------
 // Prefetching frame loader
 // ---------------------------------------------------------------------
@@ -269,6 +409,7 @@ struct Loader {
   std::vector<std::string> left, right;
   int h = 0, w = 0;
   int num_disp, min_disp, sad_radius;
+  int algorithm = 0;  // 0 = BM, 1 = SGBM
   float uniq, texture;
   float fx, baseline, min_depth, max_depth;
   int ahead;
@@ -315,8 +456,14 @@ struct Loader {
     if (f.status) return f;
     std::vector<float> disp(plane);
     std::vector<uint8_t> dvalid(plane);
-    pb_block_match(f.image.data(), rimg.data(), h, w, num_disp, min_disp,
-                   sad_radius, uniq, texture, disp.data(), dvalid.data());
+    if (algorithm == 1) {
+      pb_sgbm(f.image.data(), rimg.data(), h, w, num_disp, min_disp,
+              sad_radius, 0.03f, 0.4f, uniq, texture, disp.data(),
+              dvalid.data());
+    } else {
+      pb_block_match(f.image.data(), rimg.data(), h, w, num_disp, min_disp,
+                     sad_radius, uniq, texture, disp.data(), dvalid.data());
+    }
     f.depth.resize(plane);
     f.depth_ok.resize(plane);
     const float fb = fx * baseline;
@@ -336,7 +483,7 @@ struct Loader {
 
 void* pb_loader_create(const char** left_paths, const char** right_paths,
                        int n_frames, int h, int w, int num_disp, int min_disp,
-                       int sad_radius, float uniqueness_ratio,
+                       int sad_radius, int algorithm, float uniqueness_ratio,
                        float texture_threshold, float fx, float baseline,
                        float min_depth, float max_depth, int n_threads,
                        int prefetch_ahead) {
@@ -348,6 +495,7 @@ void* pb_loader_create(const char** left_paths, const char** right_paths,
   L->num_disp = num_disp;
   L->min_disp = min_disp;
   L->sad_radius = sad_radius;
+  L->algorithm = algorithm;
   L->uniq = uniqueness_ratio;
   L->texture = texture_threshold;
   L->fx = fx;

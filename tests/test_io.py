@@ -134,7 +134,6 @@ def test_kitti_dataset_sgbm(tmp_path, rng):
                     stereoAlgorithm="SGBM", numDisparities=32,
                     sadWindowSize=5, minDepth=0.5, maxDepth=60.0)
     ds = K.create_dataset(cfg)
-    assert ds._native is None  # SGBM runs in the Python/JAX path
     f = ds.get_frame(0)
     assert f.depth_valid.any()
     d = f.depth[f.depth_valid]

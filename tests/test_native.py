@@ -108,3 +108,21 @@ def test_prefetching_loader(tmp_path, rng):
         expected = 50.0 / (5.0 + 0.3 * i)
         assert abs(np.median(d) - expected) / expected < 0.2
     loader.close()
+
+
+def test_native_sgbm_matches_jax(rng):
+    left, right = _stereo_pair(rng)
+    kw = dict(num_disparities=24, min_disparity=1, sad_radius=2)
+    d_c, v_c = native.semi_global_match(left, right, **kw)
+    import jax.numpy as jnp
+    from photobundle_tpu.image import stereo as stereo_jax
+
+    d_j, v_j = stereo_jax.semi_global_match(jnp.asarray(left),
+                                            jnp.asarray(right), **kw)
+    d_j, v_j = np.asarray(d_j), np.asarray(v_j)
+    agree = (v_c == v_j)
+    assert agree.mean() > 0.99, agree.mean()
+    both = v_c & v_j
+    assert both.sum() > 0.25 * both.size
+    np.testing.assert_allclose(d_c[both], d_j[both], atol=2e-2)
+    assert abs(np.median(d_c[v_c]) - 7.3) < 0.5
