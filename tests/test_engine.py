@@ -235,3 +235,33 @@ def test_engine_refinement_level(scene):
                                gt, align=False)
     a_ref = traj_mod.ate_rmse(refined, gt, align=False)
     assert a_ref < a_init, (a_init, a_ref)
+
+
+def test_engine_long_sequence_no_drift_amplification():
+    """Golden long run: 24 frames of windowed refinement on a drifting VO
+    input. The sliding-window chain must IMPROVE the trajectory end to end —
+    a window-to-window error-compounding bug shows up here long before it
+    shows in 10-frame tests."""
+    from synthetic import make_sequence, drift_poses
+
+    rng = np.random.default_rng(7)
+    cam, images, depths, poses_gt = make_sequence(rng, n_frames=24,
+                                                  shape=(96, 144))
+    init = drift_poses(rng, poses_gt, trans_sigma=0.02, rot_sigma=0.002,
+                       keep_first=2)
+    gt = traj_mod.Trajectory(poses_gt.astype(np.float64))
+    cfg = small_cfg(maxIterations=15)
+    refined, results, _ = run_engine(
+        (cam, images, depths, poses_gt), cfg, init)
+    assert len(results) == 20
+    a_init = traj_mod.ate_rmse(traj_mod.Trajectory(init.astype(np.float64)),
+                               gt, align=False)
+    a_ref = traj_mod.ate_rmse(refined, gt, align=False)
+    assert a_ref < 0.75 * a_init, (a_init, a_ref)
+    # The TAIL must also improve (drift not merely front-loaded away):
+    tail_init = np.linalg.norm(init[-5:, :3, 3] - poses_gt[-5:, :3, 3],
+                               axis=1).mean()
+    tail_ref = np.linalg.norm(
+        np.asarray(refined.poses[-5:, :3, 3], np.float64)
+        - poses_gt[-5:, :3, 3], axis=1).mean()
+    assert tail_ref < tail_init, (tail_init, tail_ref)

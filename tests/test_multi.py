@@ -71,3 +71,20 @@ def test_multi_sequence_chunked_merge(tmp_path, rng):
     assert len(merged) == 12
     sched = os.path.join(outdir, ".sched")
     assert len([f for f in os.listdir(sched) if f.endswith(".done")]) == 2
+
+
+def test_multi_sequence_spawned_workers(tmp_path, rng):
+    """Two spawned worker processes share the elastic scheduler and refine
+    disjoint units (the real DP deployment shape)."""
+    root, gts = _make_dataset(tmp_path, rng, [0, 1], n_frames=7)
+    cfgp = _write_cfg(tmp_path, root)
+    outdir = str(tmp_path / "out")
+    rc = multi_mod.main(["--config", cfgp, "--sequences", "0,1",
+                         "--output-dir", outdir, "--workers", "2"])
+    assert rc == 0
+    sched = os.path.join(outdir, ".sched")
+    done = [f for f in os.listdir(sched) if f.endswith(".done")]
+    assert len(done) == 2
+    for s in (0, 1):
+        t = traj_mod.load_poses_kitti(os.path.join(outdir, f"{s:02d}.txt"))
+        assert len(t) == len(gts[s])
