@@ -88,6 +88,8 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
             # state rebuilds as frames [start - W + 1, start) are re-ingested.
             start = max(0, start - cfg.slidingWindowSize + 1)
 
+    if start > 0 and hasattr(dataset, "seek"):
+        dataset.seek(start)
     writer = log.JsonlWriter(jsonl_path) if jsonl_path else None
     n = min(len(dataset), len(init_traj))
     try:

@@ -176,6 +176,12 @@ class KittiStereoDataset:
         ok = valid & (depth > self.cfg.minDepth) & (depth < self.cfg.maxDepth)
         return depth.astype(np.float32), ok
 
+    def seek(self, i: int) -> None:
+        """Resume support: tell the prefetch pipeline to start at frame i
+        instead of producing (and caching) the whole prefix."""
+        if self._native is not None:
+            self._native.seek(i)
+
     def get_frame(self, i: int) -> StereoFrame:
         idx = self.indices[i]
         if self._native is not None:

@@ -84,6 +84,8 @@ def _load():
         lib.pb_loader_get.restype = ctypes.c_int
         lib.pb_loader_destroy.argtypes = [ctypes.c_void_p]
         lib.pb_loader_destroy.restype = None
+        lib.pb_loader_seek.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.pb_loader_seek.restype = None
         lib.pb_omp_max_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -199,6 +201,10 @@ class PrefetchingLoader:
 
     def __len__(self):
         return self._n
+
+    def seek(self, i: int):
+        """Resume support: skip production of frames before i."""
+        self._lib.pb_loader_seek(self._handle, i)
 
     def get(self, i: int):
         """(image, depth, depth_valid) for frame i; blocks until ready."""

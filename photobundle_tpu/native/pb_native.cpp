@@ -508,6 +508,19 @@ void* pb_loader_create(const char** left_paths, const char** right_paths,
   return L;
 }
 
+// Jump the pipeline to frame i (resume mid-sequence): frames before i are
+// neither produced nor retained. Racing workers may still finish a few
+// in-flight earlier frames; pb_loader_get drops them.
+void pb_loader_seek(void* handle, int i) {
+  auto* L = static_cast<Loader*>(handle);
+  std::lock_guard<std::mutex> lk(L->mu);
+  int cur = L->next_to_produce.load();
+  while (cur < i && !L->next_to_produce.compare_exchange_weak(cur, i)) {
+  }
+  L->consumer_at = std::max(L->consumer_at, i);
+  L->cv.notify_all();
+}
+
 // Blocks until frame i is ready; copies into caller buffers. Returns the
 // frame's status (0 = ok).
 int pb_loader_get(void* handle, int i, float* image, float* depth,
@@ -515,6 +528,9 @@ int pb_loader_get(void* handle, int i, float* image, float* depth,
   auto* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
   L->consumer_at = std::max(L->consumer_at, i);
+  // Consumption is monotone: frames before i will never be fetched — drop
+  // any that finished out of order so a resumed run cannot accumulate them.
+  L->ready.erase(L->ready.begin(), L->ready.lower_bound(i));
   L->cv.notify_all();
   L->cv.wait(lk, [&] { return L->ready.count(i) > 0; });
   Frame& f = L->ready[i];

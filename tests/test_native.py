@@ -126,3 +126,28 @@ def test_native_sgbm_matches_jax(rng):
     assert both.sum() > 0.25 * both.size
     np.testing.assert_allclose(d_c[both], d_j[both], atol=2e-2)
     assert abs(np.median(d_c[v_c]) - 7.3) < 0.5
+
+
+def test_prefetching_loader_seek(tmp_path, rng):
+    """Resume path: seek(i) must serve frame i promptly without producing
+    or retaining the prefix."""
+    h, w = 48, 80
+    n = 8
+    lefts, rights = [], []
+    for i in range(n):
+        L, R = _stereo_pair(rng, h, w, disp=5.0)
+        lp = str(tmp_path / f"l{i}.png")
+        rp = str(tmp_path / f"r{i}.png")
+        _write_png(lp, np.clip(L * 255, 0, 255).astype(np.uint8))
+        _write_png(rp, np.clip(R * 255, 0, 255).astype(np.uint8))
+        lefts.append(lp)
+        rights.append(rp)
+    loader = native.PrefetchingLoader(
+        lefts, rights, num_disparities=16, min_disparity=1, sad_radius=3,
+        uniqueness_ratio=0.97, texture_threshold=0.02, fx=100.0, baseline=0.5,
+        min_depth=0.5, max_depth=100.0, n_threads=2, prefetch_ahead=2)
+    loader.seek(5)
+    for i in range(5, n):
+        img, depth, ok = loader.get(i)
+        assert img.shape == (h, w) and ok.any()
+    loader.close()
