@@ -43,7 +43,7 @@ def _imread_gray(path: str) -> np.ndarray:
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         if img is None:
             raise IOError(f"failed to read {path}")
-    except ImportError:  # pragma: no cover - cv2 is present in this image
+    except ImportError:  # cv2 absent in this image; PIL is the decode path
         from PIL import Image
 
         img = np.asarray(Image.open(path).convert("L"))
