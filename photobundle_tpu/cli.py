@@ -92,6 +92,32 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
         dataset.seek(start)
     writer = log.JsonlWriter(jsonl_path) if jsonl_path else None
     n = min(len(dataset), len(init_traj))
+    def handle(result):
+        if result is None:
+            return
+        # Under cfg.pipelineResults, results arrive one frame late; the
+        # result's own last frame id is the authoritative progress marker.
+        i = int(result.frame_ids[-1])
+        refined.update(result.frame_ids, result.poses)
+        if writer:
+            writer.write(log.window_record(result, {"frame": i}))
+        if points_dir:
+            os.makedirs(points_dir, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(points_dir, f"window_{i:06d}.npz"),
+                xyz=result.points_xyz, ref_frame=result.points_frame,
+                frame_ids=result.frame_ids, poses=result.poses)
+        if progress:
+            log.info("%s", result.message())
+        with timer.time("io.checkpoint"):
+            traj_mod.write_poses_kitti(output, refined)
+            if snapshot_every > 0 and i % snapshot_every == 0:
+                pba.save_state(snap)
+            with open(ckpt, "w") as f:
+                f.write(str(i))
+        if on_window is not None:
+            on_window()
+
     try:
         for i in range(start, n):
             with timer.time("dataset.get_frame"):
@@ -101,26 +127,8 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
                                        init_traj.poses[i],
                                        depth_valid=frame.depth_valid,
                                        frame_id=i)
-            if result is not None:
-                refined.update(result.frame_ids, result.poses)
-                if writer:
-                    writer.write(log.window_record(result, {"frame": i}))
-                if points_dir:
-                    os.makedirs(points_dir, exist_ok=True)
-                    np.savez_compressed(
-                        os.path.join(points_dir, f"window_{i:06d}.npz"),
-                        xyz=result.points_xyz, ref_frame=result.points_frame,
-                        frame_ids=result.frame_ids, poses=result.poses)
-                if progress:
-                    log.info("%s", result.message())
-                with timer.time("io.checkpoint"):
-                    traj_mod.write_poses_kitti(output, refined)
-                    if snapshot_every > 0 and i % snapshot_every == 0:
-                        pba.save_state(snap)
-                    with open(ckpt, "w") as f:
-                        f.write(str(i))
-                if on_window is not None:
-                    on_window()
+            handle(result)
+        handle(pba.flush_result())
     finally:
         if writer:
             writer.close()

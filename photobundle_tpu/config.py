@@ -165,6 +165,10 @@ class PBAConfig:
                                           # XLA path, exact surface grads)
     meshPoints: int = 1                   # chips along the point axis
     meshWindows: int = 1                  # data-parallel window/sequence axis
+    pipelineResults: bool = False         # fetch window results on a
+                                          # background thread (results lag
+                                          # one frame; hides the fetch
+                                          # round-trip on remote backends)
     transportCompress: bool = True        # uint8 images on the host->device
                                           # path (lossless for 8-bit
                                           # sources; 4x less transfer)

