@@ -27,19 +27,12 @@ cross-communication at all.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import lm
 from ..geometry.camera import Camera
-
-
-def _pad_to_multiple(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 class ShardedLMSolver:
