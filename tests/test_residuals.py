@@ -189,3 +189,22 @@ def test_bicubic_compressed_matches_full(rng):
         np.testing.assert_allclose(np.asarray(getattr(eq_a, name)),
                                    np.asarray(getattr(eq_b, name)),
                                    atol=2e-3, rtol=1e-4, err_msg=name)
+
+
+def test_gauge_invariance_of_cost(rng):
+    """Property (SURVEY.md section 4): the photometric cost is invariant
+    under a global rigid transform of all poses and points (the gauge
+    freedom the frozen poses pin down)."""
+    from photobundle_tpu.geometry import se3 as se3_mod
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=10, w=3)
+    out0 = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                            huber_delta=0.05)
+    gauge = se3_mod.se3_exp(jnp.asarray(
+        rng.standard_normal(6).astype(np.float32) * 0.3))
+    t2 = jnp.einsum("ij,wjk->wik", gauge, t_wc)
+    x2 = se3_mod.transform_points(gauge, x)
+    out1 = res_mod.evaluate(cam, t2, x2, patch, ch, g, obs, off,
+                            huber_delta=0.05)
+    np.testing.assert_allclose(float(out1.cost), float(out0.cost), rtol=2e-3)
+    assert int(out1.n_residuals) == int(out0.n_residuals)
