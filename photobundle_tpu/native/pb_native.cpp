@@ -154,6 +154,36 @@ void box_filter(const float* src, float* dst, int h, int w, int r,
 
 }  // namespace
 
+namespace {
+
+// Left-right consistency (stereo.py::_lr_consistency): the right image's
+// best disparity index from the same cost volume, costR[d][xR] =
+// costL[d][xR + d] (out-of-range -> inf). stride_d = distance between
+// consecutive disparity planes for a fixed pixel.
+void right_best(const float* cost, int y, int w, int D, size_t plane,
+                size_t stride_d, bool pixel_major, std::vector<int>& out) {
+  const float inf = std::numeric_limits<float>::infinity();
+  out.resize(w);
+  for (int xr = 0; xr < w; ++xr) {
+    int best = 0;
+    float cmin = inf;
+    for (int d = 0; d < D; ++d) {
+      const int xl = xr + d;
+      if (xl >= w) break;
+      const size_t px = static_cast<size_t>(y) * w + xl;
+      const float c = pixel_major ? cost[px * stride_d + d]
+                                  : cost[static_cast<size_t>(d) * plane + px];
+      if (c < cmin) {
+        cmin = c;
+        best = d;
+      }
+    }
+    out[xr] = best;
+  }
+}
+
+}  // namespace
+
 // disparity/valid: (h, w) outputs. Matches stereo.py block_match.
 int pb_block_match(const float* left, const float* right, int h, int w,
                    int num_disparities, int min_disparity, int sad_radius,
@@ -206,9 +236,15 @@ int pb_block_match(const float* left, const float* right, int h, int w,
 
   // Winner-take-all + sub-pixel + gates, parallel over rows.
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel
+#endif
+  {
+    std::vector<int> rbest;
+#ifdef _OPENMP
+#pragma omp for schedule(static)
 #endif
   for (int y = 0; y < h; ++y) {
+    right_best(cost.data(), y, w, D, plane, 0, false, rbest);
     for (int x = 0; x < w; ++x) {
       const size_t px = static_cast<size_t>(y) * w + x;
       int best = 0;
@@ -244,10 +280,14 @@ int pb_block_match(const float* left, const float* right, int h, int w,
       const float var = l2sum[px] / n_px - mean * mean;
       const bool textured = std::sqrt(std::max(var, 0.0f)) > texture_threshold;
       const bool at_edge = best == 0 || best == D - 1;
-      const bool ok = std::isfinite(cmin) && unique && textured && !at_edge;
+      const int xr = std::clamp(x - (best + min_disparity), 0, w - 1);
+      const bool consistent = std::abs(rbest[xr] - best) <= 1;
+      const bool ok = std::isfinite(cmin) && unique && textured && !at_edge
+                      && consistent;
       disparity[px] = ok ? disp : 0.0f;
       valid[px] = ok ? 1 : 0;
     }
+  }
   }
   return 0;
 }
@@ -349,9 +389,15 @@ int pb_sgbm(const float* left, const float* right, int h, int w,
   const float inf = std::numeric_limits<float>::infinity();
 
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel
+#endif
+  {
+    std::vector<int> rbest;
+#ifdef _OPENMP
+#pragma omp for schedule(static)
 #endif
   for (int y = 0; y < h; ++y) {
+    right_best(agg.data(), y, w, D, plane, D, true, rbest);
     for (int x = 0; x < w; ++x) {
       const size_t px = static_cast<size_t>(y) * w + x;
       const float* s = agg.data() + px * D;
@@ -384,10 +430,14 @@ int pb_sgbm(const float* left, const float* right, int h, int w,
       const bool textured = std::sqrt(std::max(var, 0.0f)) > texture_threshold;
       const bool at_edge = best == 0 || best == D - 1;
       const bool has_match = cost[px * D + best] < 1e3f;
-      const bool ok = has_match && unique && textured && !at_edge;
+      const int xr = std::clamp(x - (best + min_disparity), 0, w - 1);
+      const bool consistent = std::abs(rbest[xr] - best) <= 1;
+      const bool ok = has_match && unique && textured && !at_edge
+                      && consistent;
       disparity[px] = ok ? disp : 0.0f;
       valid[px] = ok ? 1 : 0;
     }
+  }
   }
   return 0;
 }
