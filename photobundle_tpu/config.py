@@ -152,6 +152,11 @@ class PBAConfig:
     sadWindowSize: int = 9
     numDisparities: int = 128
     minDisparity: int = 1
+    speckleWindowSize: int = 0            # cv::filterSpeckles: invalidate
+                                          # connected disparity components
+                                          # smaller than this (0 = off)
+    speckleRange: float = 1.0             # disparity similarity within a
+                                          # component
 
     # --- TPU-native additions (no reference counterpart) ---
     dtype: str = "float32"

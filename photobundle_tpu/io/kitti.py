@@ -122,7 +122,9 @@ class KittiStereoDataset:
                     min_depth=self.cfg.minDepth, max_depth=self.cfg.maxDepth,
                     n_threads=max(2, self.cfg.numThreads),
                     prefetch_ahead=4,
-                    algorithm=self.cfg.stereoAlgorithm.upper())
+                    algorithm=self.cfg.stereoAlgorithm.upper(),
+                    speckle_size=self.cfg.speckleWindowSize,
+                    speckle_range=self.cfg.speckleRange)
             elif mode == "native":
                 from .. import native as _n
 
@@ -158,6 +160,13 @@ class KittiStereoDataset:
             )
             disp = np.asarray(jax.device_get(disp))
             valid = np.asarray(jax.device_get(valid))
+            if cfg.speckleWindowSize > 0:
+                from .. import native
+
+                if native.available():
+                    disp, valid = native.speckle_filter(
+                        disp, valid, max_diff=cfg.speckleRange,
+                        min_region=cfg.speckleWindowSize)
         elif cfg.stereoAlgorithm.upper() == "OPENCV_BM":
             import cv2
 

@@ -68,8 +68,13 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
-            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_float, ctypes.c_int, ctypes.c_int]
+            ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int]
+        lib.pb_speckle_filter.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int]
+        lib.pb_speckle_filter.restype = ctypes.c_int
         lib.pb_sgbm.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -146,6 +151,20 @@ def semi_global_match(left: np.ndarray, right: np.ndarray, *,
     return disp, valid.astype(bool)
 
 
+def speckle_filter(disp: np.ndarray, valid: np.ndarray, *,
+                   max_diff: float = 1.0, min_region: int = 50):
+    """cv::filterSpeckles: invalidate small connected disparity components
+    (in place on copies; returns the filtered (disp, valid))."""
+    lib = _load()
+    disp = np.ascontiguousarray(disp, np.float32).copy()
+    valid = np.ascontiguousarray(valid, np.uint8).copy()
+    h, w = disp.shape
+    lib.pb_speckle_filter(
+        _fptr(disp), valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, max_diff, min_region)
+    return disp, valid.astype(bool)
+
+
 def block_match(left: np.ndarray, right: np.ndarray, *,
                 num_disparities: int = 64, min_disparity: int = 1,
                 sad_radius: int = 4, uniqueness_ratio: float = 0.97,
@@ -179,7 +198,8 @@ class PrefetchingLoader:
                  uniqueness_ratio: float, texture_threshold: float,
                  fx: float, baseline: float, min_depth: float,
                  max_depth: float, n_threads: int = 2,
-                 prefetch_ahead: int = 4, algorithm: str = "BM"):
+                 prefetch_ahead: int = 4, algorithm: str = "BM",
+                 speckle_size: int = 0, speckle_range: float = 1.0):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native loader unavailable: {_build_error}")
@@ -195,8 +215,8 @@ class PrefetchingLoader:
         self._handle = lib.pb_loader_create(
             self._lbuf, self._rbuf, self._n, h, w, num_disparities,
             min_disparity, sad_radius, algo, uniqueness_ratio,
-            texture_threshold, fx, baseline, min_depth, max_depth,
-            n_threads, prefetch_ahead)
+            texture_threshold, speckle_size, speckle_range, fx, baseline,
+            min_depth, max_depth, n_threads, prefetch_ahead)
         self._lib = lib
 
     def __len__(self):

@@ -442,6 +442,52 @@ int pb_sgbm(const float* left, const float* right, int h, int w,
   return 0;
 }
 
+// Speckle filter (cv::filterSpeckles semantics): 4-connected components
+// of similar disparity smaller than min_region pixels are invalidated.
+// Small isolated patches are the signature of matching outliers (e.g.
+// cost-volume aliasing) that survive per-pixel gates.
+int pb_speckle_filter(float* disp, uint8_t* valid, int h, int w,
+                      float max_diff, int min_region) {
+  const size_t plane = static_cast<size_t>(h) * w;
+  std::vector<int32_t> label(plane, -1);
+  std::vector<size_t> stack;
+  std::vector<size_t> members;
+  int32_t cur = 0;
+  for (size_t seed = 0; seed < plane; ++seed) {
+    if (!valid[seed] || label[seed] >= 0) continue;
+    stack.clear();
+    members.clear();
+    stack.push_back(seed);
+    label[seed] = cur;
+    while (!stack.empty()) {
+      const size_t p = stack.back();
+      stack.pop_back();
+      members.push_back(p);
+      const int y = static_cast<int>(p / w);
+      const int x = static_cast<int>(p % w);
+      const float dp = disp[p];
+      const int ny[4] = {y - 1, y + 1, y, y};
+      const int nx[4] = {x, x, x - 1, x + 1};
+      for (int k = 0; k < 4; ++k) {
+        if (ny[k] < 0 || ny[k] >= h || nx[k] < 0 || nx[k] >= w) continue;
+        const size_t q = static_cast<size_t>(ny[k]) * w + nx[k];
+        if (!valid[q] || label[q] >= 0) continue;
+        if (std::fabs(disp[q] - dp) > max_diff) continue;
+        label[q] = cur;
+        stack.push_back(q);
+      }
+    }
+    if (static_cast<int>(members.size()) < min_region) {
+      for (size_t p : members) {
+        valid[p] = 0;
+        disp[p] = 0.0f;
+      }
+    }
+    ++cur;
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------
 // Prefetching frame loader
 // ---------------------------------------------------------------------
@@ -461,6 +507,8 @@ struct Loader {
   int num_disp, min_disp, sad_radius;
   int algorithm = 0;  // 0 = BM, 1 = SGBM
   float uniq, texture;
+  int speckle_size = 0;
+  float speckle_range = 1.0f;
   float fx, baseline, min_depth, max_depth;
   int ahead;
 
@@ -514,6 +562,9 @@ struct Loader {
       pb_block_match(f.image.data(), rimg.data(), h, w, num_disp, min_disp,
                      sad_radius, uniq, texture, disp.data(), dvalid.data());
     }
+    if (speckle_size > 0)
+      pb_speckle_filter(disp.data(), dvalid.data(), h, w, speckle_range,
+                        speckle_size);
     f.depth.resize(plane);
     f.depth_ok.resize(plane);
     const float fb = fx * baseline;
@@ -534,7 +585,8 @@ struct Loader {
 void* pb_loader_create(const char** left_paths, const char** right_paths,
                        int n_frames, int h, int w, int num_disp, int min_disp,
                        int sad_radius, int algorithm, float uniqueness_ratio,
-                       float texture_threshold, float fx, float baseline,
+                       float texture_threshold, int speckle_size,
+                       float speckle_range, float fx, float baseline,
                        float min_depth, float max_depth, int n_threads,
                        int prefetch_ahead) {
   auto* L = new Loader();
@@ -547,6 +599,8 @@ void* pb_loader_create(const char** left_paths, const char** right_paths,
   L->sad_radius = sad_radius;
   L->algorithm = algorithm;
   L->uniq = uniqueness_ratio;
+  L->speckle_size = speckle_size;
+  L->speckle_range = speckle_range;
   L->texture = texture_threshold;
   L->fx = fx;
   L->baseline = baseline;

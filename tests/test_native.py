@@ -151,3 +151,21 @@ def test_prefetching_loader_seek(tmp_path, rng):
         img, depth, ok = loader.get(i)
         assert img.shape == (h, w) and ok.any()
     loader.close()
+
+
+def test_speckle_filter(rng):
+    """cv::filterSpeckles semantics: small connected disparity components
+    are invalidated, the large smooth surface survives."""
+    h, w = 40, 60
+    disp = np.full((h, w), 10.0, np.float32)
+    valid = np.ones((h, w), np.uint8)
+    # A small aliased patch (wrong lobe) and a tiny isolated dot.
+    disp[5:8, 5:9] = 25.0
+    disp[20, 30] = 3.0
+    # A large second surface that must survive (bigger than min_region).
+    disp[25:40, 0:30] = 18.0
+    d2, v2 = native.speckle_filter(disp, valid, max_diff=1.0, min_region=50)
+    assert not v2[6, 6] and d2[6, 6] == 0.0       # aliased patch gone
+    assert not v2[20, 30]                          # dot gone
+    assert v2[30, 10] and d2[30, 10] == 18.0       # big surface kept
+    assert v2[0, 50] and d2[0, 50] == 10.0         # background kept
