@@ -109,6 +109,12 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
                 frame_ids=result.frame_ids, poses=result.poses)
         if progress:
             log.info("%s", result.message())
+            if cfg.solverVerbose:
+                for k in range(result.iterations):
+                    log.info("  it %2d  cost %.6e  lambda %.3e  |dx| %.3e  %s",
+                             k, result.cost_log[k], result.lambda_log[k],
+                             result.step_log[k],
+                             "accept" if result.accept_log[k] else "reject")
         with timer.time("io.checkpoint"):
             traj_mod.write_poses_kitti(output, refined)
             if snapshot_every > 0 and i % snapshot_every == 0:

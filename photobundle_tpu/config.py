@@ -115,7 +115,9 @@ class PBAConfig:
     maxIterations: int = 50
     functionTolerance: float = 1e-6       # relative cost-decrease stop
     parameterTolerance: float = 1e-8      # step-norm stop
-    gradientTolerance: float = 1e-10
+    gradientTolerance: float = 0.0        # stop when ||J^T r||_2 <= this
+                                          # (0 = disabled; Ceres uses a
+                                          # max-norm variant)
     robustThreshold: float = 0.05         # Huber delta on patch residual norm
     depthPriorWeight: float = 0.1         # inverse-depth prior strength on
                                           # r = w*fx*b*(1/z - 1/z_seed)
@@ -136,8 +138,9 @@ class PBAConfig:
                                           # (reference freezes 1; freezing 2
                                           # pins rotation+translation AND the
                                           # remaining scale DOF robustly)
-    refineDepthOnly: bool = False         # optionally hold points' xy
-    solverVerbose: bool = False
+    solverVerbose: bool = False           # print the per-iteration table
+                                          # (cost / lambda / |step| / accept)
+                                          # after each window solve
 
     # --- pyramid ---
     pyramidLevels: int = 1                # refinement runs at level 0

@@ -216,6 +216,7 @@ class PhotometricBundleAdjustment:
                 max_lambda=cfg.maxLambda,
                 function_tolerance=cfg.functionTolerance,
                 parameter_tolerance=cfg.parameterTolerance,
+                gradient_tolerance=cfg.gradientTolerance,
                 reduce_fn=reduce_fn,
             )
 

@@ -83,6 +83,7 @@ def lm_solve(
     max_lambda: float = 1e8,
     function_tolerance: float = 1e-6,
     parameter_tolerance: float = 1e-8,
+    gradient_tolerance: float = 0.0,
     reduce_fn: Callable | None = None,
 ):
     """Run LM to convergence. Returns (t_wc, x_world, LMStats).
@@ -205,7 +206,16 @@ def lm_solve(
         ftol_hit = accept & (actual <= function_tolerance * st.cost)
         xtol_hit = accept & (step_norm <= parameter_tolerance * (jnp.sqrt(param_norm2) + parameter_tolerance))
         lam_hit = ~accept & (st.lam >= max_lambda)
-        term = jnp.where(ftol_hit, 2, jnp.where(xtol_hit, 3, jnp.where(lam_hit, 4, 0)))
+        # Gradient stop: ||J^T r||_2 over free poses + valid points (the
+        # 2-norm composes with the cross-shard psum; Ceres uses max-norm).
+        g2 = (jnp.sum((eq.bc * (~frz).astype(eq.bc.dtype)[:, None]) ** 2)
+              + reduce_fn(jnp.sum(
+                  (eq.bp * point_valid.astype(eq.bp.dtype)[:, None]) ** 2)))
+        gtol_hit = (jnp.sqrt(g2) <= gradient_tolerance) & (gradient_tolerance > 0)
+        term = jnp.where(gtol_hit, 5,
+                         jnp.where(ftol_hit, 2,
+                                   jnp.where(xtol_hit, 3,
+                                             jnp.where(lam_hit, 4, 0))))
 
         i = st.it
         return _LoopState(
@@ -266,4 +276,5 @@ TERMINATION_NAMES = {
     2: "function_tolerance",
     3: "parameter_tolerance",
     4: "lambda_overflow",
+    5: "gradient_tolerance",
 }

@@ -202,3 +202,19 @@ def test_motion_prior_strength_ordering(rng):
     assert errs[0.0] < 0.6 * e_init          # free solve corrects most
     assert errs[0.0] <= errs[1.0] <= errs[5.0] + 1e-9  # monotone anchoring
     assert errs[1.0] < 0.85 * e_init         # weak prior still refines
+
+
+def test_gradient_tolerance_termination(rng):
+    """At (numerical) optimum the gradient is tiny; gtol must fire."""
+    from test_residuals import setup_problem
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=12, w=3)
+    frozen = jnp.asarray([True, False, False])
+    pv = jnp.ones((x.shape[0],), bool)
+    # Start AT ground truth: residuals ~0, gradient ~0 -> immediate stop.
+    t_out, x_out, stats = lm.lm_solve(
+        cam, t_wc, x, patch, ch, g, obs, pv, frozen, off,
+        huber_delta=0.05, gradient_tolerance=1e-1, max_iterations=20,
+        function_tolerance=0.0, parameter_tolerance=0.0)
+    assert int(stats.termination) == 5, lm.TERMINATION_NAMES[int(stats.termination)]
+    assert int(stats.iterations) <= 2
