@@ -119,8 +119,12 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
             traj_mod.write_poses_kitti(output, refined)
             if snapshot_every > 0 and i % snapshot_every == 0:
                 pba.save_state(snap)
-            with open(ckpt, "w") as f:
+            # tmp + os.replace: a concurrent reader (resume, unit stealer)
+            # must never see an empty/partial frame counter.
+            tmp = f"{ckpt}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
                 f.write(str(i))
+            os.replace(tmp, ckpt)
         if on_window is not None:
             on_window()
 

@@ -145,6 +145,21 @@ class PBAConfig:
     # --- pyramid ---
     pyramidLevels: int = 1                # refinement runs at level 0
     refinementLevel: int = 0
+    coarseToFine: bool = False            # solve coarse pyramid levels
+                                          # first (levels pyramidLevels-1
+                                          # down to refinementLevel+1),
+                                          # warm-starting poses+points at
+                                          # each finer level. Extends the
+                                          # convergence basin ~2^k x in
+                                          # initial pose error; the FINAL
+                                          # level solve is identical to the
+                                          # single-level path (reference
+                                          # parity preserved). Coarse-level
+                                          # reference patches are
+                                          # re-extracted from the downsampled
+                                          # window at the point's current
+                                          # ref-frame projection.
+    coarseIterations: int = 15            # LM iteration cap per coarse level
 
     # --- dataset / stereo (host side) ---
     dataDir: str = ""

@@ -51,14 +51,18 @@ class BatchedPhotometricBundleAdjustment:
 
     def __init__(self, camera: Camera, image_shape, cfg: PBAConfig,
                  batch: int):
-        if cfg.meshPoints > 1:
-            raise ValueError("batched engine is the single-chip DP axis; "
-                             "use meshWindows/multi.py for multi-chip DP")
+        import functools
+
         self.batch = batch
         self.cfg = cfg
+        mw, mp = cfg.meshWindows, cfg.meshPoints
+        sharded = mw > 1 or mp > 1
         # A single (non-batched) engine provides the jitted implementations;
-        # its own state is unused.
-        self._proto = PhotometricBundleAdjustment(camera, image_shape, cfg)
+        # its own state is unused. It must NOT build its own mesh — the
+        # ('windows', 'points') wrapping happens HERE, at the batch level.
+        proto_cfg = cfg.replace(meshPoints=1, meshWindows=1) if sharded else cfg
+        self._proto = PhotometricBundleAdjustment(camera, image_shape,
+                                                  proto_cfg)
         stack = lambda tree: jax.tree.map(
             lambda a: jnp.broadcast_to(a, (batch,) + a.shape), tree)
         self.window = stack(state.init_window(cfg, self._proto.level_shape))
@@ -70,9 +74,28 @@ class BatchedPhotometricBundleAdjustment:
         self._ingest = jax.jit(
             jax.vmap(proto._ingest_impl, in_axes=(0, 0, 0, 0, 0, None)),
             donate_argnums=(0, 1))
-        self._optimize = jax.jit(
-            jax.vmap(proto._optimize_impl, in_axes=(0, 0)),
-            donate_argnums=(0, 1))
+        if sharded:
+            # cfg.meshWindows x cfg.meshPoints, end-to-end from the config
+            # (BASELINE configs 3/5): window-batch DP over 'windows',
+            # points-sharded Schur within each window over 'points'.
+            from ..parallel import make_mesh
+            from ..parallel.sharded import (check_point_capacity,
+                                            wrap_batched_optimize)
+
+            if batch % mw != 0:
+                raise ValueError(
+                    f"batch {batch} not divisible by meshWindows {mw}")
+            self._mesh = make_mesh(points=mp, windows=mw)
+            check_point_capacity(cfg.maxNumPoints, self._mesh)
+            self._optimize = jax.jit(
+                wrap_batched_optimize(proto._optimize_impl, self._mesh),
+                donate_argnums=(0, 1))
+        else:
+            self._mesh = None
+            self._optimize = jax.jit(
+                jax.vmap(functools.partial(proto._optimize_impl,
+                                           reduce_fn=None)),
+                donate_argnums=(0, 1))
 
     def add_frames(self, images, depths, t_wcs,
                    depth_valids=None,
@@ -85,7 +108,11 @@ class BatchedPhotometricBundleAdjustment:
         b = self.batch
         images = np.stack([np.asarray(im, np.float32) for im in images])
         if images.max() > 2.0:
-            images = images / 255.0
+            # Multiply by the shared f32 reciprocal (never /255): the repo's
+            # bitwise-determinism convention — engine.add_frame and
+            # io/kitti._imread_gray normalize the same way, and a 1-ulp
+            # difference would reshuffle point-selection tie-breaks.
+            images = images * np.float32(1.0 / 255.0)
         depths = np.stack([np.asarray(d, np.float32) for d in depths])
         if depth_valids is not None:
             depths = np.where(np.stack(depth_valids), depths, 0.0)

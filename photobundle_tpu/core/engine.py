@@ -103,6 +103,18 @@ class PhotometricBundleAdjustment:
         fxb = float(self.camera.fx) * float(self.camera.baseline)
         self._prior_scale = cfg.depthPriorWeight * max(fxb, 0.3 * float(self.camera.fx))
 
+        # Coarse-to-fine schedule: number of EXTRA coarse levels solved
+        # before the standard refinement-level solve (levels
+        # refinementLevel+1 .. refinementLevel+n_coarse, coarsest first).
+        # Clamped so the coarsest image keeps >= 24 px on both axes.
+        self._n_coarse = 0
+        if cfg.coarseToFine:
+            k = cfg.pyramidLevels - cfg.refinementLevel - 1
+            h_l, w_l = self.level_shape
+            while k > 0 and min(h_l >> k, w_l >> k) < 24:
+                k -= 1
+            self._n_coarse = k
+
         self.window = state.init_window(cfg, self.level_shape)
         self.points = state.init_point_table(cfg)
         self._frame_count = 0
@@ -121,8 +133,35 @@ class PhotometricBundleAdjustment:
 
             self._mesh = make_mesh(points=cfg.meshPoints)
 
+        # Multi-process (multi-host) operation: when the mesh spans OS
+        # processes, host inputs must become global (replicated) arrays and
+        # sharded outputs must be resharded to replicated before a host
+        # fetch. Every process runs the identical deterministic frame loop,
+        # so replicated inputs are bitwise-identical across ranks.
+        self._multiproc = (self._mesh is not None
+                           and jax.process_count() > 1)
+        if self._multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self._mesh, P())
+            globalize = lambda t: jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    rep, np.asarray(a)), t)
+            self.window = globalize(self.window)
+            self.points = globalize(self.points)
+            self._replicate = jax.jit(lambda t: t, out_shardings=rep)
+
         self._ingest = jax.jit(self._ingest_impl, donate_argnums=(0, 1))
-        self._optimize = jax.jit(self._optimize_impl, donate_argnums=(0, 1))
+        if self._mesh is not None:
+            from ..parallel.sharded import wrap_engine_optimize
+
+            self._optimize = jax.jit(
+                wrap_engine_optimize(self._optimize_impl, self._mesh),
+                donate_argnums=(0, 1))
+        else:
+            self._optimize = jax.jit(
+                functools.partial(self._optimize_impl, reduce_fn=None),
+                donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------ #
     # jitted implementations
@@ -180,7 +219,11 @@ class PhotometricBundleAdjustment:
         }
         return window, sel.points, diag
 
-    def _optimize_impl(self, window, points):
+    def _optimize_impl(self, window, points, reduce_fn=None):
+        """One full window solve. `reduce_fn` is the cross-shard psum hook:
+        None on a single device; jax.lax.psum over the 'points' axis when
+        wrapped by parallel/sharded.wrap_engine_optimize (all shard_map
+        specs live THERE, not here)."""
         cfg = self.cfg
         w = cfg.slidingWindowSize
         frozen = jnp.arange(w) < cfg.numFixedPoses
@@ -196,21 +239,26 @@ class PhotometricBundleAdjustment:
         ).astype(jnp.int32)
         in_window = jnp.any(points.ref_frame[:, None] == window.frame_ids[None, :], axis=1)
         ref_slot = jnp.where(in_window, ref_slot, -1)
-        def solve(t_wc0, x_world0, patch, channels, grads, obs, pv, frz,
+        from ..geometry import camera as cam_mod
+        from ..image import interp as interp_mod
+
+        def solve(cam, prior_scale, max_iter, anchor,
+                  t_wc0, x_world0, patch, channels, grads, obs, pv, frz,
                   ref_slot_s, seed_s, reduce_fn=None):
             depth_prior = (
-                (ref_slot_s, seed_s, self._prior_scale)
+                (ref_slot_s, seed_s, prior_scale)
                 if cfg.depthPriorWeight > 0 else None
             )
             return lm.lm_solve(
-                self.camera, t_wc0, x_world0, patch, channels, grads, obs,
+                cam, t_wc0, x_world0, patch, channels, grads, obs,
                 pv, frz, self.offsets,
                 huber_delta=cfg.robustThreshold,
                 gradient_mode=cfg.resolve_gradient_mode(),
                 backend=cfg.resolve_backend(),
                 depth_prior=depth_prior,
                 motion_prior_weight=cfg.motionPriorWeight,
-                max_iterations=cfg.maxIterations,
+                motion_prior_anchor=anchor,
+                max_iterations=max_iter,
                 initial_lambda=cfg.initialLambda,
                 min_lambda=cfg.minLambda,
                 max_lambda=cfg.maxLambda,
@@ -220,27 +268,54 @@ class PhotometricBundleAdjustment:
                 reduce_fn=reduce_fn,
             )
 
-        args = (window.t_wc, points.x_world, points.patch, window.channels,
-                window.grads, points.obs, point_valid, frozen, ref_slot,
-                points.inv_depth_seed)
-        if self._mesh is not None:
-            # Points-sharded multi-chip solve (SURVEY.md 2b residual-block
-            # sharding): point tensors sharded, window tensors replicated,
-            # cross-shard reduction = psum inside lm_solve.
-            from jax.sharding import PartitionSpec as P
+        from ..geometry import se3 as se3_mod
 
-            pt, rep = P("points"), P()
-            t_wc, x_world, stats = jax.shard_map(
-                functools.partial(
-                    solve,
-                    reduce_fn=lambda x: jax.lax.psum(x, "points")),
-                mesh=self._mesh,
-                in_specs=(rep, pt, pt, rep, rep, pt, pt, rep, pt, pt),
-                out_specs=(rep, pt, lm.LMStats(*([rep] * 10))),
-                check_vma=False,
-            )(*args)
-        else:
-            t_wc, x_world, stats = solve(*args)
+        # Motion-prior anchor: the ORIGINAL initialization's relative
+        # poses, shared by every level of the schedule.
+        anchor = (se3_mod.se3_inverse(window.t_wc[:-1]) @ window.t_wc[1:]
+                  if cfg.motionPriorWeight > 0 else None)
+
+        t_cur, x_cur = window.t_wc, points.x_world
+        # ---- coarse-to-fine warm start (cfg.coarseToFine; SURVEY.md 3.4:
+        # the reference refines over an image pyramid). Coarse levels are
+        # DERIVED inside the solve: window channels blur+decimated k times
+        # (exactly build_pyramid's kernel), reference patches re-extracted
+        # from the coarse ref-frame image at the point's current
+        # projection. Poses/points are world-frame — warm starts carry over
+        # with no rescaling. The final level below uses the STORED frozen
+        # descriptors: bit-identical to the single-level path.
+        for k in range(self._n_coarse, 0, -1):
+            ch_k = window.channels
+            for _ in range(k):
+                ch_k = pyramid_mod.downsample2(pyramid_mod.gaussian_blur5(ch_k))
+            gx, gy = interp_mod.image_gradients(ch_k)
+            grads_k = jnp.stack([gx, gy], axis=-1)
+            cam_k = self.camera.scaled(0.5 ** k)
+
+            def per_frame(t_f, ch_f):
+                t_cw = se3_mod.se3_inverse(t_f)
+                y = x_cur @ t_cw[:3, :3].T + t_cw[:3, 3]
+                uv, in_front = cam_mod.project(cam_k, y)
+                p, ok = patches_mod.extract_patches(ch_f, uv, self.offsets)
+                return p, ok & in_front
+
+            p_all, ok_all = jax.vmap(per_frame)(t_cur, ch_k)  # (W,N,C,P),(W,N)
+            n_idx = jnp.arange(x_cur.shape[0])
+            safe = jnp.maximum(ref_slot, 0)
+            patch_k = patches_mod.mean_normalize(p_all[safe, n_idx])
+            pv_k = point_valid & ok_all[safe, n_idx] & (ref_slot >= 0)
+            t_cur, x_cur, _ = solve(
+                cam_k, self._prior_scale * (0.5 ** k), cfg.coarseIterations,
+                anchor, t_cur, x_cur, patch_k, ch_k, grads_k, points.obs,
+                pv_k, frozen, ref_slot, points.inv_depth_seed,
+                reduce_fn=reduce_fn)
+
+        # ---- final solve at the refinement level (stored descriptors).
+        t_wc, x_world, stats = solve(
+            self.camera, self._prior_scale, cfg.maxIterations, anchor,
+            t_cur, x_cur, points.patch, window.channels, window.grads,
+            points.obs, point_valid, frozen, ref_slot,
+            points.inv_depth_seed, reduce_fn=reduce_fn)
         # Points excluded from the solve (fresh single-observation points)
         # were positioned with their reference frame's PRE-solve pose; move
         # them rigidly with that frame (X <- T_new T_old^{-1} X) so they stay
@@ -261,6 +336,16 @@ class PhotometricBundleAdjustment:
     # ------------------------------------------------------------------ #
     # host API
     # ------------------------------------------------------------------ #
+    def _put(self, a):
+        """Host -> device transport; under multi-process operation the
+        array becomes a global replicated array over the mesh."""
+        if self._multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.make_array_from_process_local_data(
+                NamedSharding(self._mesh, P()), np.asarray(a))
+        return jnp.asarray(a)
+
     def add_frame(self, image: np.ndarray, depth: np.ndarray,
                   t_wc: np.ndarray, depth_valid: Optional[np.ndarray] = None,
                   frame_id: Optional[int] = None) -> Optional[WindowResult]:
@@ -304,8 +389,9 @@ class PhotometricBundleAdjustment:
 
         self.window, self.points, diag = self._ingest(
             self.window, self.points,
-            jnp.asarray(image), jnp.asarray(depth),
-            jnp.asarray(t_wc, jnp.float32), jnp.asarray(frame_id, jnp.int32),
+            self._put(image), self._put(depth),
+            self._put(np.asarray(t_wc, np.float32)),
+            self._put(np.asarray(frame_id, np.int32)),
         )
 
         if self._window_count < self.cfg.slidingWindowSize:
@@ -320,6 +406,10 @@ class PhotometricBundleAdjustment:
                 self.window, self.points)
         handles = (stats, self.window.frame_ids, self.window.t_wc,
                    point_valid, self.points.x_world, self.points.ref_frame)
+        if self._multiproc:
+            # Points-sharded leaves are not addressable from one process;
+            # reshard the (small) fetched handles to replicated first.
+            handles = self._replicate(handles)
         if self.cfg.pipelineResults:
             # Overlap the result round-trip with the NEXT frame's work: a
             # background thread fetches this window's results; the PREVIOUS

@@ -44,6 +44,43 @@ class LMStats(NamedTuple):
     n_residuals: jax.Array      # () valid observation count
 
 
+class ShardCtx(NamedTuple):
+    """Cross-shard reduction hooks for a ('frames', 'points') 2-D mesh —
+    the 'ring-attention of BA' layout (SURVEY.md 5.7): window images are
+    sharded over 'frames' (per-chip memory = W / n_frames frames), point
+    tensors over 'points'. The distributed Schur assembly is then:
+
+        hpp, bp          psum over 'frames'   (point blocks: all frames)
+        hcc, bc          psum over 'points' then all_gather over 'frames'
+        hpc              all_gather over 'frames' (axis 1) — the one
+                         gathered tensor, (N_local, W, 3, 6): small next to
+                         the sharded images
+        S, rhs           psum over 'points'
+        cost / n_res     psum over both axes
+
+    The reduced 6W x 6W solve stays replicated on every chip. A plain
+    points-only sharding is the degenerate ctx with identity frames hooks
+    (see points_only_ctx)."""
+
+    reduce_points: Callable     # psum over the points axis
+    reduce_frames: Callable     # psum over the frames axis
+    reduce_obs: Callable        # psum over BOTH axes (per-observation sums)
+    gather_frames: Callable     # (x, axis) -> all_gather over frames, tiled
+    frame_offset: jax.Array | int  # global slot index of local frame 0
+
+
+def points_only_ctx(reduce_fn: Callable | None) -> ShardCtx:
+    """The 1-D (points-sharded or unsharded) special case."""
+    r = reduce_fn if reduce_fn is not None else (lambda x: x)
+    return ShardCtx(
+        reduce_points=r,
+        reduce_frames=lambda x: x,
+        reduce_obs=r,
+        gather_frames=lambda x, axis: x,
+        frame_offset=0,
+    )
+
+
 class _LoopState(NamedTuple):
     t_wc: jax.Array
     x_world: jax.Array
@@ -77,6 +114,7 @@ def lm_solve(
     backend: str = "xla",
     depth_prior: tuple | None = None,
     motion_prior_weight: float = 0.0,
+    motion_prior_anchor: jax.Array | None = None,
     max_iterations: int = 50,
     initial_lambda: float = 1e-4,
     min_lambda: float = 1e-10,
@@ -124,7 +162,14 @@ def lm_solve(
     wm = motion_prior_weight
     use_motion = wm > 0.0
     w_sz = t_wc.shape[0]
-    rel0 = se3.se3_inverse(t_wc[:-1]) @ t_wc[1:] if use_motion else None
+    # The anchor is the INITIAL relative trajectory. Coarse-to-fine warm
+    # starts pass the original VO rel poses explicitly so finer levels
+    # don't re-anchor to the (already-moved) coarse solution.
+    if use_motion:
+        rel0 = (motion_prior_anchor if motion_prior_anchor is not None
+                else se3.se3_inverse(t_wc[:-1]) @ t_wc[1:])
+    else:
+        rel0 = None
 
     def prior_cost_terms(t):
         if not use_motion:

@@ -291,7 +291,6 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
                                 obs_mask, offsets, huber_delta: float,
                                 depth_prior: tuple | None,
                                 interpret: bool,
-                                cost_only: bool = False,
                                 ctx=None) -> CompressedResiduals:
     """Kernel-backed path: ops/patch_warp samples (value, gx, gy) patches —
     the one op XLA gathers ruin — and the stat algebra (means, Grams,

@@ -45,10 +45,13 @@ def _lr_consistency(cost: jax.Array, best_l: jax.Array, min_disparity: int,
     texture were >20% wrong before this gate). cost: (D, H, W) with +inf
     at masked entries; best_l: (H, W) winning disparity INDEX."""
     d_count, h, w = cost.shape
-    # costR via a per-plane left-shift (roll; wrapped entries land on
-    # columns whose dR is out of range and compare unequal anyway).
+    # costR via a per-plane left-shift by the ACTUAL disparity (index +
+    # min_disparity): plane di at left column xl scores the pair
+    # (xl, xl - di - min_disparity), so the right-view cost at column xr is
+    # costL[di, xr + di + min_disparity]. (Roll wraps; wrapped entries land
+    # on columns whose dR is out of range and compare unequal anyway.)
     cost_r = jax.vmap(lambda c, d: jnp.roll(c, -d, axis=1))(
-        cost, jnp.arange(d_count))
+        cost, jnp.arange(d_count) + min_disparity)
     best_r = jnp.argmin(cost_r, axis=0)                       # (H, W) index
     # dR sampled at xR = x - dL(x).
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

@@ -167,6 +167,22 @@ class KittiStereoDataset:
                     disp, valid = native.speckle_filter(
                         disp, valid, max_diff=cfg.speckleRange,
                         min_region=cfg.speckleWindowSize)
+                else:
+                    # Same semantics, pure Python (slow) — never silently
+                    # drop a configured filter just because the toolchain
+                    # is missing.
+                    if not getattr(self, "_warned_speckle", False):
+                        from ..utils import logging as _log
+
+                        _log.warn(
+                            "speckleWindowSize=%d but the native library is "
+                            "unavailable (%s); using the slow pure-Python "
+                            "speckle filter", cfg.speckleWindowSize,
+                            native.build_error())
+                        self._warned_speckle = True
+                    disp, valid = native.speckle_filter_numpy(
+                        disp, valid, max_diff=cfg.speckleRange,
+                        min_region=cfg.speckleWindowSize)
         elif cfg.stereoAlgorithm.upper() == "OPENCV_BM":
             import cv2
 

@@ -12,6 +12,7 @@ criterion of BASELINE.md is ATE parity with the C++ reference.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 import numpy as np
@@ -67,9 +68,15 @@ def load_poses_kitti(path: str) -> Trajectory:
 
 
 def write_poses_kitti(path: str, traj: Trajectory) -> None:
-    """Write poses in KITTI format (%.9e, 12 values per row)."""
+    """Write poses in KITTI format (%.9e, 12 values per row).
+
+    tmp + os.replace so concurrent readers (a unit stealer reading a dead
+    worker's partial output, the resume path) never see a half-written
+    file."""
     rows = traj.poses[:, :3, :4].reshape(len(traj), 12)
-    np.savetxt(path, rows, fmt="%.9e")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    np.savetxt(tmp, rows, fmt="%.9e")
+    os.replace(tmp, path)
 
 
 def _umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = False):

@@ -100,10 +100,7 @@ def worker_main(args) -> int:
     wid = args.worker_id or f"{os.uname().nodename}.{os.getpid()}"
     sched = LeaseScheduler(sched_dir, wid, lease_timeout_s=args.lease_timeout)
     seqs = [int(s) for s in args.sequences.split(",")]
-    sched.publish(make_units(
-        seqs, args.frames_per_unit,
-        sequence_lengths={s: _sequence_length(cfg, s) for s in seqs}
-        if args.frames_per_unit > 0 else None))
+    sched.publish(_units_for(cfg, args, seqs))
     done = 0
     for u in sched.claims():
         log.info("[%s] refining unit %d: seq %02d frames %d..%s", wid, u.uid,
@@ -123,22 +120,41 @@ def _sequence_length(cfg: PBAConfig, seq: int) -> int:
         cfg.dataDir, "sequences", f"{seq:02d}", "image_0", "*.png")))
 
 
+def _units_for(cfg: PBAConfig, args, seqs) -> list:
+    """The canonical unit list — workers and merge_outputs MUST derive unit
+    boundaries the same way (tails shorter than the sliding window are
+    folded into the preceding chunk; they could never fill a window)."""
+    return make_units(
+        seqs, args.frames_per_unit,
+        sequence_lengths={s: _sequence_length(cfg, s) for s in seqs}
+        if args.frames_per_unit > 0 else None,
+        min_frames=cfg.slidingWindowSize)
+
+
 def merge_outputs(args) -> None:
-    """Concatenate per-unit trajectories into one <NN>.txt per sequence."""
+    """Concatenate per-unit trajectories into one <NN>.txt per sequence.
+
+    Raises if any unit's output is missing — a silent skip would emit a
+    merged trajectory shorter than the sequence (frames dropped without
+    warning) when a worker died before refining its unit."""
     cfg = _load_cfg(args)
-    for s in {int(x) for x in args.sequences.split(",")}:
-        if args.frames_per_unit < 0:
-            continue  # whole-sequence units already wrote <NN>.txt
-        n = _sequence_length(cfg, s)
+    if args.frames_per_unit < 0:
+        return  # whole-sequence units already wrote <NN>.txt
+    seqs = sorted({int(x) for x in args.sequences.split(",")})
+    units = _units_for(cfg, args, seqs)
+    for s in seqs:
         rows = []
-        start = 0
-        while start < n:
-            cnt = min(args.frames_per_unit, n - start)
-            path = os.path.join(args.output_dir, f"{s:02d}_{start:06d}.txt")
-            if os.path.exists(path):
-                t = traj_mod.load_poses_kitti(path)
-                rows.append(t.poses)
-            start += cnt
+        for u in units:
+            if u.sequence != s:
+                continue
+            path = _unit_output(args.output_dir, u)
+            if not os.path.exists(path):
+                raise RuntimeError(
+                    f"merge: missing unit output {path} (seq {s:02d} frames "
+                    f"{u.first_frame}..{u.first_frame + u.num_frames}); "
+                    "a worker likely died before refining it — re-run to "
+                    "let a surviving worker pick it up")
+            rows.append(traj_mod.load_poses_kitti(path).poses)
         if rows:
             merged = traj_mod.Trajectory(np.concatenate(rows, axis=0))
             traj_mod.write_poses_kitti(

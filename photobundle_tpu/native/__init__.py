@@ -165,6 +165,49 @@ def speckle_filter(disp: np.ndarray, valid: np.ndarray, *,
     return disp, valid.astype(bool)
 
 
+def speckle_filter_numpy(disp: np.ndarray, valid: np.ndarray, *,
+                         max_diff: float = 1.0, min_region: int = 50):
+    """Pure-Python fallback for pb_speckle_filter when the native library
+    is unavailable: identical DFS traversal (same neighbor order, same
+    popped-pixel similarity test), so the same config yields the same depth
+    validity regardless of toolchain availability. ~1-2 s/frame at KITTI
+    resolution — the native path is the production one."""
+    disp = np.ascontiguousarray(disp, np.float32).copy()
+    valid = np.ascontiguousarray(valid, bool).copy()
+    h, w = disp.shape
+    d = disp.ravel()
+    v = valid.ravel()
+    label = np.full(h * w, -1, np.int32)
+    cur = 0
+    for seed in range(h * w):
+        if not v[seed] or label[seed] >= 0:
+            continue
+        stack = [seed]
+        label[seed] = cur
+        members = []
+        while stack:
+            p = stack.pop()
+            members.append(p)
+            y, x = divmod(p, w)
+            dp = d[p]
+            for q in ((p - w if y > 0 else -1),
+                      (p + w if y < h - 1 else -1),
+                      (p - 1 if x > 0 else -1),
+                      (p + 1 if x < w - 1 else -1)):
+                if q < 0 or not v[q] or label[q] >= 0:
+                    continue
+                if abs(d[q] - dp) > max_diff:
+                    continue
+                label[q] = cur
+                stack.append(q)
+        if len(members) < min_region:
+            idx = np.asarray(members, np.int64)
+            v[idx] = False
+            d[idx] = 0.0
+        cur += 1
+    return d.reshape(h, w), v.reshape(h, w)
+
+
 def block_match(left: np.ndarray, right: np.ndarray, *,
                 num_disparities: int = 64, min_disparity: int = 1,
                 sad_radius: int = 4, uniqueness_ratio: float = 0.97,

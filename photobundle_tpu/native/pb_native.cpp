@@ -157,18 +157,20 @@ void box_filter(const float* src, float* dst, int h, int w, int r,
 namespace {
 
 // Left-right consistency (stereo.py::_lr_consistency): the right image's
-// best disparity index from the same cost volume, costR[d][xR] =
-// costL[d][xR + d] (out-of-range -> inf). stride_d = distance between
-// consecutive disparity planes for a fixed pixel.
-void right_best(const float* cost, int y, int w, int D, size_t plane,
-                size_t stride_d, bool pixel_major, std::vector<int>& out) {
+// best disparity index from the same cost volume. Plane d at left column
+// xl scores the pair (xl, xl - d - min_disp), so costR[d][xR] =
+// costL[d][xR + d + min_disp] (out-of-range -> inf). stride_d = distance
+// between consecutive disparity planes for a fixed pixel.
+void right_best(const float* cost, int y, int w, int D, int min_disp,
+                size_t plane, size_t stride_d, bool pixel_major,
+                std::vector<int>& out) {
   const float inf = std::numeric_limits<float>::infinity();
   out.resize(w);
   for (int xr = 0; xr < w; ++xr) {
     int best = 0;
     float cmin = inf;
     for (int d = 0; d < D; ++d) {
-      const int xl = xr + d;
+      const int xl = xr + d + min_disp;
       if (xl >= w) break;
       const size_t px = static_cast<size_t>(y) * w + xl;
       const float c = pixel_major ? cost[px * stride_d + d]
@@ -244,7 +246,7 @@ int pb_block_match(const float* left, const float* right, int h, int w,
 #pragma omp for schedule(static)
 #endif
   for (int y = 0; y < h; ++y) {
-    right_best(cost.data(), y, w, D, plane, 0, false, rbest);
+    right_best(cost.data(), y, w, D, min_disparity, plane, 0, false, rbest);
     for (int x = 0; x < w; ++x) {
       const size_t px = static_cast<size_t>(y) * w + x;
       int best = 0;
@@ -397,7 +399,7 @@ int pb_sgbm(const float* left, const float* right, int h, int w,
 #pragma omp for schedule(static)
 #endif
   for (int y = 0; y < h; ++y) {
-    right_best(agg.data(), y, w, D, plane, D, true, rbest);
+    right_best(agg.data(), y, w, D, min_disparity, plane, D, true, rbest);
     for (int x = 0; x < w; ++x) {
       const size_t px = static_cast<size_t>(y) * w + x;
       const float* s = agg.data() + px * D;

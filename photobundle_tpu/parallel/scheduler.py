@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import asdict, dataclass
 from typing import Iterator, List, Optional
@@ -43,10 +44,16 @@ class WorkUnit:
 
 
 def make_units(sequences: List[int], frames_per_unit: int = -1,
-               sequence_lengths: Optional[dict] = None) -> List[WorkUnit]:
+               sequence_lengths: Optional[dict] = None,
+               min_frames: int = 0) -> List[WorkUnit]:
     """Split sequences into work units. frames_per_unit < 0 -> one unit per
     sequence; otherwise each sequence is chunked (chunks overlap by one
-    window is NOT needed — each chunk re-bootstraps its own window)."""
+    window is NOT needed — each chunk re-bootstraps its own window).
+
+    min_frames: a tail chunk shorter than this (e.g. the sliding window
+    size — it could never fill a window, so its frames would go unrefined)
+    is folded into the preceding chunk instead of becoming its own unit.
+    """
     units = []
     uid = 0
     for s in sequences:
@@ -58,6 +65,9 @@ def make_units(sequences: List[int], frames_per_unit: int = -1,
         start = 0
         while start < n:
             cnt = min(frames_per_unit, n - start)
+            left_over = n - start - cnt
+            if 0 < left_over < min_frames:
+                cnt = n - start  # absorb the too-short tail
             units.append(WorkUnit(uid=uid, sequence=s, first_frame=start,
                                   num_frames=cnt))
             uid += 1
@@ -77,11 +87,20 @@ class LeaseScheduler:
     """
 
     def __init__(self, root: str, worker_id: str,
-                 lease_timeout_s: float = 120.0):
+                 lease_timeout_s: float = 120.0,
+                 auto_heartbeat: bool = True):
         self.root = root
         self.worker_id = worker_id
         self.lease_timeout_s = lease_timeout_s
         self._current: Optional[WorkUnit] = None
+        # Heartbeat runs on a timer THREAD, not on work-completion
+        # callbacks: the first window of a unit includes JIT compilation
+        # that can far exceed the lease timeout, and a per-window callback
+        # would let a live worker's unit be stolen mid-compile (two workers
+        # then rewrite the same outputs concurrently).
+        self._auto_heartbeat = auto_heartbeat
+        self._hb_stop: Optional[threading.Event] = None
+        self._hb_thread: Optional[threading.Thread] = None
         os.makedirs(root, exist_ok=True)
 
     # -------------------------------------------------- manifest
@@ -154,7 +173,28 @@ class LeaseScheduler:
             except OSError:
                 pass
 
+    def _start_heartbeat(self) -> None:
+        if not self._auto_heartbeat or self._hb_thread is not None:
+            return
+        stop = threading.Event()
+        period = max(0.05, self.lease_timeout_s / 4.0)
+
+        def loop():
+            while not stop.wait(period):
+                self.heartbeat()
+
+        t = threading.Thread(target=loop, name="lease-heartbeat", daemon=True)
+        t.start()
+        self._hb_stop, self._hb_thread = stop, t
+
+    def _stop_heartbeat(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=5.0)
+            self._hb_stop = self._hb_thread = None
+
     def complete(self, unit: WorkUnit) -> None:
+        self._stop_heartbeat()
         with open(self._done_path(unit.uid), "w") as f:
             f.write(self.worker_id)
         try:
@@ -165,6 +205,7 @@ class LeaseScheduler:
 
     def release(self, unit: WorkUnit) -> None:
         """Give a unit back (graceful shutdown) so others pick it up."""
+        self._stop_heartbeat()
         try:
             os.remove(self._lease_path(unit.uid))
         except OSError:
@@ -187,8 +228,10 @@ class LeaseScheduler:
             for u in pending:
                 if self._try_claim(u):
                     self._current = u
+                    self._start_heartbeat()
                     progress = True
                     yield u
+                    self._stop_heartbeat()
             if not progress:
                 # Everything is leased by live workers; wait for completions
                 # or lease expiries.

@@ -1,4 +1,4 @@
-"""Multi-chip BA solver: the LM + Schur solve under `shard_map`.
+"""Multi-chip BA solve wiring: ALL shard_map specs live here.
 
 TPU-native replacement for Ceres' pthread parallel Jacobian evaluation /
 Schur eliminator (reference: Solver::Options::num_threads,
@@ -9,7 +9,8 @@ Sharding layout (the "residual-block sharding" strategy):
     over the 'points' mesh axis. Each chip evaluates residuals/Jacobians and
     per-point Schur blocks for its shard only.
   - Window images and poses are replicated (a 5-50 frame window is a few MB
-    — cheap next to the (N, W, D, 9) Jacobian tensor).
+    — cheap next to the Jacobian-side tensors). For LARGE windows see the
+    'frames'-axis sharding (wrap_frames_sharded_solve below).
   - The distributed Schur reduction is exactly TWO psums per LM iteration:
     the (W, 6, 6)+(W, 6) pose blocks and the (W, W, 6, 6)+(W, 6) reduced
     contributions (see core/schur.reduce_camera_system). Both ride ICI.
@@ -19,31 +20,100 @@ Sharding layout (the "residual-block sharding" strategy):
     parts'.
   - Point back-substitution and point updates stay shard-local. Zero
     gather/scatter of point state between chips.
+  - The 'windows' mesh axis vmaps independent window problems
+    (multi-sequence DP, BASELINE configs 3/5): batched solves shard over it
+    with no cross-communication at all.
 
-The 'windows' mesh axis vmaps independent window problems (multi-sequence /
-multi-window DP, BASELINE configs 3/5): batched solves shard over it with no
-cross-communication at all.
+This module is the ONE place that declares which engine-state leaves are
+point-sharded vs replicated; the engine (core/engine.py) and the batched
+engine (core/batched.py) both wrap their `_optimize_impl` through it, so
+the specs cannot drift apart (round-1 VERDICT item 4).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core import lm
+from ..core import lm, state
 from ..geometry.camera import Camera
+
+POINTS_AXIS = "points"
+WINDOWS_AXIS = "windows"
+
+
+def _stats_specs(spec) -> lm.LMStats:
+    return lm.LMStats(*([spec] * len(lm.LMStats._fields)))
+
+
+def _window_specs(spec) -> state.Window:
+    return state.Window(*([spec] * len(state.Window._fields)))
+
+
+def _point_specs(spec) -> state.PointTable:
+    return state.PointTable(*([spec] * len(state.PointTable._fields)))
+
+
+def check_point_capacity(n_points: int, mesh: Mesh,
+                         axis: str = POINTS_AXIS) -> None:
+    """Capacity padding rule: the point table must divide the points axis.
+    Inactive slots are dead weight but keep shapes static — the
+    load-imbalance strategy of SURVEY.md 'hard parts' (capacity padding +
+    occupancy masks)."""
+    n_shards = mesh.shape[axis]
+    if n_points % n_shards != 0:
+        raise ValueError(
+            f"point capacity {n_points} not divisible by {axis} axis "
+            f"{n_shards}")
+
+
+def wrap_engine_optimize(optimize_impl, mesh: Mesh, *,
+                         axis: str = POINTS_AXIS):
+    """Points-shard the engine's whole `_optimize_impl(window, points,
+    reduce_fn)` : window leaves replicated, point-table leaves sharded on
+    their leading (N) axis, cross-shard reduction = one psum hook threaded
+    into the LM loop. Returns the shard_map-wrapped callable (un-jitted)."""
+    pt, rep = P(axis), P()
+    fn = functools.partial(
+        optimize_impl, reduce_fn=lambda x: jax.lax.psum(x, axis))
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(_window_specs(rep), _point_specs(pt)),
+        out_specs=(_window_specs(rep), _point_specs(pt), _stats_specs(rep),
+                   pt),
+        check_vma=False,
+    )
+
+
+def wrap_batched_optimize(optimize_impl, mesh: Mesh, *,
+                          points_axis: str = POINTS_AXIS,
+                          windows_axis: str = WINDOWS_AXIS):
+    """Batched multi-window optimize over a ('windows', 'points') mesh:
+    vmap over the leading window-batch axis (sharded over 'windows' — pure
+    DP, no cross-talk), points sharded within each window (psum over
+    'points' only). Drives BASELINE configs 3/5 from cfg.meshWindows x
+    cfg.meshPoints (core/batched.py)."""
+    w, rep_w = P(windows_axis, points_axis), P(windows_axis)
+    fn = jax.vmap(functools.partial(
+        optimize_impl, reduce_fn=lambda x: jax.lax.psum(x, points_axis)))
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(_window_specs(rep_w), _point_specs(w)),
+        out_specs=(_window_specs(rep_w), _point_specs(w), _stats_specs(rep_w),
+                   w),
+        check_vma=False,
+    )
 
 
 class ShardedLMSolver:
-    """Points-sharded LM solve with the same signature as core.lm.lm_solve.
-
-    Capacity padding: the point table must be divisible by the 'points' axis
-    size; the engine's capacity (cfg.maxNumPoints) is validated at
-    construction. Inactive slots are dead weight but keep shapes static —
-    the load-imbalance strategy of SURVEY.md 'hard parts' (capacity padding
-    + occupancy masks).
-    """
+    """Points-sharded raw LM solve with the same signature as
+    core.lm.lm_solve — the library-level entry for callers that manage
+    their own tensors (tools/demo_multiprocess.py, benchmarks). The full
+    engine does NOT go through this class; it wraps its `_optimize_impl`
+    with wrap_engine_optimize above (same axis name, same psum hook)."""
 
     def __init__(self, mesh: Mesh, cam: Camera, offsets: jax.Array, *,
                  n_points: int, huber_delta: float,
@@ -51,20 +121,15 @@ class ShardedLMSolver:
                  max_iterations: int = 50,
                  initial_lambda: float = 1e-4, function_tolerance: float = 1e-6,
                  parameter_tolerance: float = 1e-8):
-        if "points" not in mesh.axis_names:
-            raise ValueError("mesh must have a 'points' axis")
-        n_shards = mesh.shape["points"]
-        if n_points % n_shards != 0:
-            raise ValueError(
-                f"point capacity {n_points} not divisible by points axis {n_shards}")
+        if POINTS_AXIS not in mesh.axis_names:
+            raise ValueError(f"mesh must have a '{POINTS_AXIS}' axis")
+        check_point_capacity(n_points, mesh)
         self.mesh = mesh
         self.cam = cam
         self.offsets = offsets
 
-        reduce_fn = lambda x: jax.lax.psum(x, "points")
-
         def solve_local(t_wc, x_world, patch, channels, grads, obs_mask,
-                        point_valid, frozen):
+                        point_valid, frozen, reduce_fn):
             return lm.lm_solve(
                 cam, t_wc, x_world, patch, channels, grads, obs_mask,
                 point_valid, frozen, offsets,
@@ -76,14 +141,15 @@ class ShardedLMSolver:
                 reduce_fn=reduce_fn,
             )
 
-        pt = P("points")
-        rep = P()
+        pt, rep = P(POINTS_AXIS), P()
         self._solve = jax.jit(
             jax.shard_map(
-                solve_local,
+                functools.partial(
+                    solve_local,
+                    reduce_fn=lambda x: jax.lax.psum(x, POINTS_AXIS)),
                 mesh=mesh,
                 in_specs=(rep, pt, pt, rep, rep, pt, pt, rep),
-                out_specs=(rep, pt, lm.LMStats(*([rep] * 10))),
+                out_specs=(rep, pt, _stats_specs(rep)),
                 check_vma=False,
             )
         )
@@ -98,11 +164,11 @@ def make_batched_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
                                 n_points: int, huber_delta: float,
                                 gradient_mode: str = "sampled",
                                 max_iterations: int = 20):
-    """Batched multi-window solve: vmap over a leading window-batch axis,
-    sharded over ('windows', 'points') — BASELINE configs 3/5 (concurrent
-    sequence refinement). Inputs gain a leading B axis; B must be divisible
-    by the 'windows' axis size."""
-    reduce_fn = lambda x: jax.lax.psum(x, "points")
+    """Batched raw multi-window lm_solve: vmap over a leading window-batch
+    axis, sharded over ('windows', 'points'). Library-level counterpart of
+    wrap_batched_optimize. Inputs gain a leading B axis; B must be
+    divisible by the 'windows' axis size."""
+    check_point_capacity(n_points, mesh)
 
     def solve_one(t_wc, x_world, patch, channels, grads, obs_mask,
                   point_valid, frozen):
@@ -110,18 +176,19 @@ def make_batched_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
             cam, t_wc, x_world, patch, channels, grads, obs_mask,
             point_valid, frozen, offsets,
             huber_delta=huber_delta, gradient_mode=gradient_mode,
-            max_iterations=max_iterations, reduce_fn=reduce_fn,
+            max_iterations=max_iterations,
+            reduce_fn=lambda x: jax.lax.psum(x, POINTS_AXIS),
         )
 
     batched = jax.vmap(solve_one)
-    wpt = P("windows", "points")
-    wrep = P("windows")
+    wpt = P(WINDOWS_AXIS, POINTS_AXIS)
+    wrep = P(WINDOWS_AXIS)
     return jax.jit(
         jax.shard_map(
             batched,
             mesh=mesh,
             in_specs=(wrep, wpt, wpt, wrep, wrep, wpt, wpt, wrep),
-            out_specs=(wrep, wpt, lm.LMStats(*([wrep] * 10))),
+            out_specs=(wrep, wpt, _stats_specs(wrep)),
             check_vma=False,
         )
     )

@@ -103,6 +103,46 @@ def test_engine_improves_drifting_trajectory(scene):
     assert ate_ref < 0.8 * ate_init, (ate_init, ate_ref)
 
 
+def test_engine_coarse_to_fine_extends_basin(scene):
+    """cfg.coarseToFine (SURVEY.md 3.4, BASELINE config 2): with an initial
+    pose error ~4x larger than the single-level convergence basin, the
+    3-level coarse-to-fine schedule must still pull the trajectory toward
+    ground truth, where single-level refinement fails (diverges or leaves
+    the error essentially uncorrected)."""
+    cam, images, depths, poses_gt = scene
+    rng = np.random.default_rng(29)
+    # Large perturbation: single-level bilinear refinement has a ~1-px
+    # basin; this is several pixels of reprojection error.
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.12, rot_sigma=0.012,
+                         keep_first=2)
+    gt_traj = traj_mod.Trajectory(poses_gt.astype(np.float64))
+    init_traj = traj_mod.Trajectory(init.astype(np.float64))
+    ate_init = traj_mod.ate_rmse(init_traj, gt_traj, align=False)
+
+    single, _, _ = run_engine(scene, small_cfg(), init)
+    c2f, results, _ = run_engine(
+        scene, small_cfg(pyramidLevels=3, coarseToFine=True), init)
+    assert len(results) >= 5
+    ate_single = traj_mod.ate_rmse(single, gt_traj, align=False)
+    ate_c2f = traj_mod.ate_rmse(c2f, gt_traj, align=False)
+    # Coarse-to-fine must improve on the initialization AND beat the
+    # single-level result on this far-from-basin start.
+    assert ate_c2f < 0.75 * ate_init, (ate_init, ate_single, ate_c2f)
+    assert ate_c2f < ate_single, (ate_init, ate_single, ate_c2f)
+
+
+def test_engine_coarse_to_fine_noop_single_level(scene):
+    """coarseToFine with pyramidLevels=1 has no coarse levels: trajectories
+    must be IDENTICAL to the plain single-level engine."""
+    cam, images, depths, poses_gt = scene
+    rng = np.random.default_rng(31)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.02, rot_sigma=0.002,
+                         keep_first=2)
+    a, _, _ = run_engine(scene, small_cfg(), init)
+    b, _, _ = run_engine(scene, small_cfg(coarseToFine=True), init)
+    np.testing.assert_array_equal(a.poses, b.poses)
+
+
 def test_engine_on_ground_truth_stays_near(scene):
     """Fed the ground-truth trajectory, the engine must stay within the
     photometric noise floor (bilinear-interpolation error lets young frames

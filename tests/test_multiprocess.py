@@ -1,0 +1,91 @@
+"""Multi-process distributed solve — SURVEY.md section 4 "distributed
+without a cluster": 2 OS processes x 2 virtual CPU devices each, joined by
+`jax.distributed`, running (a) the points-sharded LM solve and (b) the FULL
+engine over a global 4-device mesh. Every rank must produce the identical
+result (the gauge-consistency requirement: the replicated reduced solve and
+accept/reject branch must be bitwise identical across ranks), and the
+lm-level result must match a single-process oracle.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "mp_worker.py")
+N_PROC = 2
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn(mode: str, outdir: str):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(k), str(N_PROC), str(port),
+             outdir, mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for k in range(N_PROC)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for k, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {k} failed:\n{out[-3000:]}"
+    return [np.load(os.path.join(outdir, f"rank{k}.npz"))
+            for k in range(N_PROC)]
+
+
+def test_two_process_sharded_solve_matches_single(tmp_path):
+    ranks = _spawn("solve", str(tmp_path))
+    # Identical results on every rank.
+    for key in ("t_wc", "x_world", "final_cost"):
+        np.testing.assert_array_equal(ranks[0][key], ranks[1][key])
+    assert ranks[0]["final_cost"] <= ranks[0]["initial_cost"]
+    assert ranks[0]["accepted"] >= 1
+
+    # And identical to the single-process (implicitly-sharded) oracle.
+    import jax
+    import jax.numpy as jnp
+    from photobundle_tpu.core import lm
+    from test_residuals import setup_problem
+
+    rng = np.random.default_rng(0)
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=32, w=3)
+    frozen = jnp.asarray([True, False, False])
+    pv = jnp.ones((32,), bool)
+    t_ref, x_ref, stats = jax.jit(
+        lambda *a: lm.lm_solve(cam, *a, offsets=off, huber_delta=0.05,
+                               max_iterations=6))(
+        t_wc, jnp.asarray(np.asarray(x) + 0.01), patch, ch, g, obs, pv,
+        frozen)
+    # psum reduction order differs from the single-device sum: float-level
+    # noise only (same bound as test_sharding's engine equality test). The
+    # final COST is not compared tightly: at a fixed small iteration count
+    # the accept/reject sequence can diverge on that noise, and near the
+    # optimum the cost is quadratically sensitive to it.
+    np.testing.assert_allclose(ranks[0]["t_wc"], np.asarray(t_ref),
+                               atol=5e-5)
+    assert ranks[0]["final_cost"] < float(stats.initial_cost)
+
+
+def test_two_process_full_engine_identical_trajectories(tmp_path):
+    """2-process full-engine e2e: ingest + track + select + sharded solve,
+    global mesh spanning both processes; refined trajectories must be
+    identical on all ranks."""
+    ranks = _spawn("engine", str(tmp_path))
+    assert ranks[0]["poses"].shape[0] >= 3
+    np.testing.assert_array_equal(ranks[0]["poses"], ranks[1]["poses"])

@@ -169,3 +169,18 @@ def test_speckle_filter(rng):
     assert not v2[20, 30]                          # dot gone
     assert v2[30, 10] and d2[30, 10] == 18.0       # big surface kept
     assert v2[0, 50] and d2[0, 50] == 10.0         # background kept
+
+
+def test_speckle_filter_numpy_matches_native(rng):
+    """The pure-Python fallback (used when the toolchain is missing) must
+    make bit-identical validity decisions — same config, same depth mask,
+    regardless of toolchain availability (ADVICE round 1)."""
+    h, w = 48, 72
+    disp = (10.0 + np.cumsum(rng.normal(0, 0.3, (h, w)), axis=1)).astype(np.float32)
+    valid = (rng.random((h, w)) > 0.15).astype(np.uint8)
+    disp[~valid.astype(bool)] = 0.0
+    d_c, v_c = native.speckle_filter(disp, valid, max_diff=0.8, min_region=20)
+    d_p, v_p = native.speckle_filter_numpy(disp, valid, max_diff=0.8,
+                                           min_region=20)
+    np.testing.assert_array_equal(v_c, v_p)
+    np.testing.assert_array_equal(d_c, d_p)

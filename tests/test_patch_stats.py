@@ -75,14 +75,14 @@ def test_kernel_matches_with_prior_and_normal_equations(rng):
             atol=5e-4, rtol=1e-4, err_msg=name)
 
 
-def test_kernel_cost_only_mode(rng):
+def test_kernel_cost_matches_xla(rng):
     cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=10, w=3)
     kw = dict(huber_delta=0.05, gradient_mode="sampled")
     ref = res_mod.evaluate_compressed(cam, t_wc, x + 0.01, patch, ch, g, obs,
                                       off, backend="xla", **kw)
     out = res_mod._evaluate_compressed_pallas(
         cam, t_wc, x + 0.01, patch, ch, g, obs, off, 0.05, None,
-        interpret=True, cost_only=True)
+        interpret=True)
     np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=1e-5)
     assert int(out.n_residuals) == int(ref.n_residuals)
 

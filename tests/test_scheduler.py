@@ -24,6 +24,25 @@ def test_make_units_chunked():
         (0, 100), (100, 100), (200, 50)]
 
 
+def test_make_units_folds_short_tail():
+    # A 3-frame tail can never fill a 5-frame window: it must be folded
+    # into the preceding chunk, not dropped or emitted as its own unit.
+    units = make_units([0], frames_per_unit=100, sequence_lengths={0: 203},
+                       min_frames=5)
+    assert [(u.first_frame, u.num_frames) for u in units] == [
+        (0, 100), (100, 103)]
+    # A tail >= min_frames stays its own unit.
+    units = make_units([0], frames_per_unit=100, sequence_lengths={0: 205},
+                       min_frames=5)
+    assert [(u.first_frame, u.num_frames) for u in units] == [
+        (0, 100), (100, 100), (200, 5)]
+    # A whole sequence shorter than min_frames is still emitted (the caller
+    # owns that case).
+    units = make_units([0], frames_per_unit=100, sequence_lengths={0: 3},
+                       min_frames=5)
+    assert [(u.first_frame, u.num_frames) for u in units] == [(0, 3)]
+
+
 def test_disjoint_claims_two_workers(tmp_path):
     root = str(tmp_path)
     a = LeaseScheduler(root, "a")
@@ -51,7 +70,10 @@ def test_disjoint_claims_two_workers(tmp_path):
 
 def test_steal_from_dead_worker(tmp_path):
     root = str(tmp_path)
-    dead = LeaseScheduler(root, "dead", lease_timeout_s=0.2)
+    # auto_heartbeat=False models a crashed process: its heartbeat thread
+    # dies with it, so the lease goes stale.
+    dead = LeaseScheduler(root, "dead", lease_timeout_s=0.2,
+                          auto_heartbeat=False)
     live = LeaseScheduler(root, "live", lease_timeout_s=0.2)
     dead.publish(make_units([0]))
     it = dead.claims()
@@ -80,6 +102,25 @@ def test_heartbeat_prevents_steal(tmp_path):
         assert not w2._try_claim(u)
     w1.complete(u)
     assert w2.pending() == []
+
+
+def test_auto_heartbeat_protects_slow_worker(tmp_path):
+    """A live worker stuck in a long operation (e.g. first-window JIT
+    compilation, minutes over a tunnel) must not lose its unit: the timer
+    thread heartbeats independently of work progress (ADVICE round 1)."""
+    root = str(tmp_path)
+    slow = LeaseScheduler(root, "slow", lease_timeout_s=0.4)
+    thief = LeaseScheduler(root, "thief", lease_timeout_s=0.4)
+    slow.publish(make_units([0]))
+    it = slow.claims()
+    u = next(it)
+    # Several lease periods of "compute" with NO manual heartbeat calls.
+    deadline = time.time() + 1.5
+    while time.time() < deadline:
+        time.sleep(0.1)
+        assert not thief._try_claim(u), "live worker's unit was stolen"
+    slow.complete(u)
+    assert thief.pending() == []
 
 
 def test_release_requeues(tmp_path):
