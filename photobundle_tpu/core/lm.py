@@ -123,33 +123,48 @@ def lm_solve(
     parameter_tolerance: float = 1e-8,
     gradient_tolerance: float = 0.0,
     reduce_fn: Callable | None = None,
+    shard_ctx: ShardCtx | None = None,
 ):
     """Run LM to convergence. Returns (t_wc, x_world, LMStats).
 
-    `reduce_fn(tree) -> tree` is the cross-shard reduction hook: identity on
-    a single chip, `jax.lax.psum(..., axis)` inside `shard_map`
-    (parallel/sharded.py). It is applied to the normal-equation blocks that
-    are summed over points, and to scalar cost/step accumulators.
+    `reduce_fn(tree) -> tree` is the simple cross-shard reduction hook:
+    identity on a single chip, `jax.lax.psum(..., 'points')` inside
+    `shard_map` (parallel/sharded.py). For the 2-D ('frames', 'points')
+    layout pass `shard_ctx` instead (see ShardCtx): `t_wc` stays the FULL
+    replicated (W, 4, 4) window, while `channels`/`grads` hold only the
+    local frame shard and `obs_mask` is (N_local, W_local).
     """
-    if reduce_fn is None:
-        reduce_fn = lambda x: x
+    sc = shard_ctx if shard_ctx is not None else points_only_ctx(reduce_fn)
+    w_local = channels.shape[0]
+    frames_sharded = shard_ctx is not None and w_local != t_wc.shape[0]
 
     obs_mask = obs_mask & point_valid[:, None]
+    if depth_prior is not None and frames_sharded:
+        # ref_slot holds GLOBAL window slots; evaluation compares against
+        # local frame indices, so shift into the local frame (slots owned
+        # by other shards fall outside [0, w_local) and never match).
+        depth_prior = (depth_prior[0] - sc.frame_offset,
+                       depth_prior[1], depth_prior[2])
+
+    def slice_frames(t):
+        if not frames_sharded:
+            return t
+        return jax.lax.dynamic_slice_in_dim(t, sc.frame_offset, w_local, 0)
 
     # Sampling context (image panels, 2D descriptors) is loop-invariant —
     # build once, reuse in every iteration's eval and cost passes.
-    ctx = None
+    eval_ctx = None
     if backend == "pallas":
         from .residuals import make_pallas_ctx
 
         pr = (int(round(offsets.shape[0] ** 0.5)) - 1) // 2
-        ctx = make_pallas_ctx(channels, grads, patch, pr)
+        eval_ctx = make_pallas_ctx(channels, grads, patch, pr)
 
     def eval_stats(t, x):
-        return evaluate_compressed(cam, t, x, patch, channels, grads,
-                                   obs_mask, offsets, huber_delta,
+        return evaluate_compressed(cam, slice_frames(t), x, patch, channels,
+                                   grads, obs_mask, offsets, huber_delta,
                                    gradient_mode, depth_prior=depth_prior,
-                                   backend=backend, ctx=ctx)
+                                   backend=backend, ctx=eval_ctx)
 
     # Relative-pose motion prior (no reference counterpart): anchors each
     # consecutive window pair's relative pose to its initialization,
@@ -197,8 +212,8 @@ def lm_solve(
         return hd, coup, bc
 
     res0 = eval_stats(t_wc, x_world)
-    init_cost = reduce_fn(res0.cost) + prior_cost_terms(t_wc)
-    n_res = reduce_fn(res0.n_residuals)
+    init_cost = sc.reduce_obs(res0.cost) + prior_cost_terms(t_wc)
+    n_res = sc.reduce_obs(res0.n_residuals)
 
     def body(st: _LoopState) -> _LoopState:
         # One residual/stat evaluation per iteration: the loop state carries
@@ -209,28 +224,39 @@ def lm_solve(
         # eval-then-test structure at identical numerics.
         res = st.res
         eq = schur.build_normal_equations_compressed(res)
-        # Cross-shard reduction of pose-side blocks (points stay local).
-        eq = eq._replace(hcc=reduce_fn(eq.hcc), bc=reduce_fn(eq.bc))
+        # Global assembly (see ShardCtx): point blocks summed over frames,
+        # pose blocks summed over points then gathered over frames, the
+        # point-pose coupling gathered over frames (axis 1). With the
+        # points-only ctx this degenerates to the two classic psums.
+        eq = eq._replace(
+            hpp=sc.reduce_frames(eq.hpp),
+            bp=sc.reduce_frames(eq.bp),
+            hcc=sc.gather_frames(sc.reduce_points(eq.hcc), 0),
+            bc=sc.gather_frames(sc.reduce_points(eq.bc), 0),
+            hpc=sc.gather_frames(eq.hpc, 1),
+        )
         coupling = None
         if use_motion:
             # Added AFTER the psum — the prior is replicated pose math.
             hd, coupling, bc_p = prior_system(st.t_wc)
             eq = eq._replace(hcc=eq.hcc + hd, bc=eq.bc + bc_p)
         # Freeze poses with no support (empty slots) in addition to gauge.
-        obs_per_frame = reduce_fn(jnp.sum(res.valid.astype(jnp.int32), axis=0))
+        obs_per_frame = sc.gather_frames(
+            sc.reduce_points(jnp.sum(res.valid.astype(jnp.int32), axis=0)), 0)
         frz = frozen | (obs_per_frame == 0)
 
         sys_parts = schur.reduce_camera_system(eq, st.lam, point_valid, frz,
-                                               reduce_fn=reduce_fn,
+                                               reduce_fn=sc.reduce_points,
                                                pose_coupling=coupling)
         dc, dp = schur.solve_reduced(sys_parts)
 
         t_new = se3.retract_right(st.t_wc, dc)
         x_new = st.x_world + dp
         res_new = eval_stats(t_new, x_new)
-        new_cost = reduce_fn(res_new.cost) + prior_cost_terms(t_new)
+        new_cost = sc.reduce_obs(res_new.cost) + prior_cost_terms(t_new)
 
-        pred = schur.predicted_reduction(eq, st.lam, dc, dp, reduce_fn=reduce_fn)
+        pred = schur.predicted_reduction(eq, st.lam, dc, dp,
+                                         reduce_fn=sc.reduce_points)
         pred = jnp.maximum(pred, 1e-20)
         actual = st.cost - new_cost
         rho = actual / pred
@@ -242,8 +268,9 @@ def lm_solve(
                             jnp.minimum(st.lam * st.nu, max_lambda * 10.0))
         nu_new = jnp.where(accept, 2.0, st.nu * 2.0)
 
-        step_norm2 = reduce_fn(jnp.sum(dp * dp)) + jnp.sum(dc * dc)
-        param_norm2 = reduce_fn(jnp.sum(st.x_world ** 2)) + jnp.sum(se3.se3_log(st.t_wc) ** 2)
+        step_norm2 = sc.reduce_points(jnp.sum(dp * dp)) + jnp.sum(dc * dc)
+        param_norm2 = (sc.reduce_points(jnp.sum(st.x_world ** 2))
+                       + jnp.sum(se3.se3_log(st.t_wc) ** 2))
         step_norm = jnp.sqrt(step_norm2)
 
         cost_out = jnp.where(accept, new_cost, st.cost)
@@ -254,7 +281,7 @@ def lm_solve(
         # Gradient stop: ||J^T r||_2 over free poses + valid points (the
         # 2-norm composes with the cross-shard psum; Ceres uses max-norm).
         g2 = (jnp.sum((eq.bc * (~frz).astype(eq.bc.dtype)[:, None]) ** 2)
-              + reduce_fn(jnp.sum(
+              + sc.reduce_points(jnp.sum(
                   (eq.bp * point_valid.astype(eq.bp.dtype)[:, None]) ** 2)))
         gtol_hit = (jnp.sqrt(g2) <= gradient_tolerance) & (gradient_tolerance > 0)
         term = jnp.where(gtol_hit, 5,

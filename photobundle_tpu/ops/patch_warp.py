@@ -99,9 +99,49 @@ def _warp_kernel(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, out_ref, *,
     jax.lax.fori_loop(0, chunk // unroll, body, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("patch_radius", "interpret"))
+def _warp_kernel_block(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, out_ref, *,
+                       chunk: int, patch_radius: int, raw: bool):
+    """Round-2 variants of _warp_kernel with ONE store per observation
+    (out pages = observations, (rows, lanes) tile per page) instead of ps
+    row stores — the per-row store addressing dominated the sequential
+    loop. raw=True additionally skips the 4-tap combine and stores the
+    rolled integer-aligned (win, 3win) window; the bilinear combine then
+    runs as dense XLA downstream at memory speed."""
+    ps = 2 * patch_radius + 1
+    win = ps + 1
+    unroll = next(u for u in (16, 8, 4, 2, 1) if chunk % u == 0)
+
+    def one(i):
+        y0 = y_ref[0, 0, i]
+        p = pan_ref[0, 0, i]
+        o = off_ref[0, 0, i]
+        rows = img_ref[0, 0, p, pl.ds(y0, win), :]         # (win, 128)
+        wnd = pltpu.roll(rows, -o, 1)[:, :3 * win]         # (win, 3win)
+        if raw:
+            out_ref[0, i] = wnd
+        else:
+            fx = fxfy_ref[0, 0, i]
+            fy = fxfy_ref[0, 1, i]
+            w00 = (1.0 - fx) * (1.0 - fy)
+            w01 = fx * (1.0 - fy)
+            w10 = (1.0 - fx) * fy
+            w11 = fx * fy
+            out_ref[0, i] = (w00 * wnd[:ps, :3 * ps] + w01 * wnd[:ps, 3:]
+                             + w10 * wnd[1:, :3 * ps] + w11 * wnd[1:, 3:])
+
+    def body(g, _):
+        for u in range(unroll):
+            one(g * unroll + u)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_radius", "interpret",
+                                             "variant"))
 def warp_patches(panels: jax.Array, uv: jax.Array, valid: jax.Array,
-                 patch_radius: int, interpret: bool = False):
+                 patch_radius: int, interpret: bool = False,
+                 variant: str = "rows"):
     """Bilinear-sample (value, d/dx, d/dy) patches at all observations.
 
     Args:
@@ -109,6 +149,17 @@ def warp_patches(panels: jax.Array, uv: jax.Array, valid: jax.Array,
       uv: (N, W, 2) projected pixel coordinates (x, y).
       valid: (N, W) bool; invalid coords are clamped (mask downstream).
       patch_radius: R.
+      variant: kernel store layout (tools/bench_warp_kernel.py, v5e,
+        4096 x 5 obs):
+        'rows':  round-1 kernel, ps row stores per obs — 14.5 ns/obs,
+                 MEASURED FASTEST and the default,
+        'block': one (ps, 3ps) tile store per observation — 16.7 ns/obs
+                 (the padded (8,128) tile store costs more than 5 row
+                 stores),
+        'raw':   store the rolled (win, 3win) integer window, bilinear
+                 combine in XLA downstream — 20.9 ns/obs.
+        Round-2 finding: the kernel is ~0.3 ms of a ~2.5 ms LM iteration —
+        NOT the bottleneck round 1 assumed (see BASELINE.md roofline).
 
     Returns (s, gx, gy), each (N, W, C, P) with P = (2R+1)^2.
     """
@@ -142,38 +193,71 @@ def warp_patches(panels: jax.Array, uv: jax.Array, valid: jax.Array,
     def fm(a):  # (N, W) -> frame-major (n_steps, 1, chunk)
         return jnp.moveaxis(a, 0, 1).reshape(n_steps, 1, chunk)
 
-    kern = functools.partial(_warp_kernel, chunk=chunk,
-                             patch_radius=patch_radius)
     smem_vec = lambda: pl.BlockSpec(
         (1, 1, chunk), lambda ci, s: (s, 0, 0), memory_space=pltpu.SMEM)
-    out = pl.pallas_call(
-        kern,
-        grid=(c, n_steps),   # channel-major so panel blocks are reused
-        in_specs=[
-            smem_vec(),  # y0
-            smem_vec(),  # panel
-            smem_vec(),  # lane offset
-            pl.BlockSpec((1, 2, chunk), lambda ci, s: (s, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_pan, h, PANEL_W),
-                         lambda ci, s: (s // steps_per_frame, ci, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ps, chunk, 3 * ps),
-                               lambda ci, s: (ci, 0, s, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, ps, m, 3 * ps), jnp.float32),
-        interpret=interpret,
-    )(
+    in_specs = [
+        smem_vec(),  # y0
+        smem_vec(),  # panel
+        smem_vec(),  # lane offset
+        pl.BlockSpec((1, 2, chunk), lambda ci, s: (s, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_pan, h, PANEL_W),
+                     lambda ci, s: (s // steps_per_frame, ci, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = (
         fm(y0), fm(pan), fm(off),
         jnp.stack([jnp.moveaxis(fx, 0, 1).reshape(n_steps, chunk),
                    jnp.moveaxis(fy, 0, 1).reshape(n_steps, chunk)], axis=1),
         panels.astype(jnp.float32),
     )
 
-    # (C, PS, m, 3PS) -> (N, W, C, P) per plane. Lane index = 3*wx + k.
-    out = out.reshape(c, ps, w, n, ps, 3)
-    out = jnp.moveaxis(out, (3, 2, 0), (0, 1, 2))       # (N, W, C, PSy, PSx, 3)
+    if variant == "rows":
+        kern = functools.partial(_warp_kernel, chunk=chunk,
+                                 patch_radius=patch_radius)
+        out = pl.pallas_call(
+            kern,
+            grid=(c, n_steps),  # channel-major so panel blocks are reused
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, ps, chunk, 3 * ps),
+                                   lambda ci, s: (ci, 0, s, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, ps, m, 3 * ps), jnp.float32),
+            interpret=interpret,
+        )(*inputs)
+        # (C, PS, m, 3PS) -> (N, W, C, PSy, PSx, 3). Lane index = 3*wx + k.
+        out = out.reshape(c, ps, w, n, ps, 3)
+        out = jnp.moveaxis(out, (3, 2, 0), (0, 1, 2))
+    else:
+        raw = variant == "raw"
+        rows_out = win if raw else ps
+        lanes_out = 3 * win if raw else 3 * ps
+        kern = functools.partial(_warp_kernel_block, chunk=chunk,
+                                 patch_radius=patch_radius, raw=raw)
+        out = pl.pallas_call(
+            kern,
+            grid=(c, n_steps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, chunk, rows_out, lanes_out),
+                                   lambda ci, s: (ci, s, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, m, rows_out, lanes_out),
+                                           jnp.float32),
+            interpret=interpret,
+        )(*inputs)
+        if raw:
+            # Bilinear combine as dense XLA (memory-speed, no gathers):
+            # weights per observation, frame-major like the kernel layout.
+            fxm = jnp.moveaxis(fx, 0, 1).reshape(1, m, 1, 1)
+            fym = jnp.moveaxis(fy, 0, 1).reshape(1, m, 1, 1)
+            out = ((1 - fxm) * (1 - fym) * out[..., :ps, :3 * ps]
+                   + fxm * (1 - fym) * out[..., :ps, 3:]
+                   + (1 - fxm) * fym * out[..., 1:, :3 * ps]
+                   + fxm * fym * out[..., 1:, 3:])
+        # (C, m, PS, 3PS) -> (N, W, C, PSy, PSx, 3).
+        out = out.reshape(c, w, n, ps, ps, 3)
+        out = jnp.moveaxis(out, (2, 1, 0), (0, 1, 2))
+
     s = out[..., 0].reshape(n, w, c, ps * ps)
     gx = out[..., 1].reshape(n, w, c, ps * ps)
     gy = out[..., 2].reshape(n, w, c, ps * ps)

@@ -43,6 +43,21 @@ from ..geometry.camera import Camera
 
 POINTS_AXIS = "points"
 WINDOWS_AXIS = "windows"
+FRAMES_AXIS = "frames"
+
+
+def make_frames_mesh(frames: int = 1, points: int = 1, devices=None):
+    """('frames', 'points') mesh for large-window solves (SURVEY.md 5.7 /
+    BASELINE config 4): window images sharded over 'frames' so per-chip
+    image memory is W / n_frames frames."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    need = frames * points
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(frames, points)
+    return Mesh(arr, axis_names=(FRAMES_AXIS, POINTS_AXIS))
 
 
 def _stats_specs(spec) -> lm.LMStats:
@@ -105,6 +120,80 @@ def wrap_batched_optimize(optimize_impl, mesh: Mesh, *,
         out_specs=(_window_specs(rep_w), _point_specs(w), _stats_specs(rep_w),
                    w),
         check_vma=False,
+    )
+
+
+def make_frames_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
+                               n_points: int, window_size: int,
+                               huber_delta: float,
+                               gradient_mode: str = "sampled",
+                               backend: str = "xla",
+                               depth_prior_weight: float = 0.0,
+                               motion_prior_weight: float = 0.0,
+                               max_iterations: int = 50,
+                               function_tolerance: float = 1e-6,
+                               parameter_tolerance: float = 1e-8):
+    """Large-window LM solve over the ('frames', 'points') 2-D mesh — the
+    keyframe-axis partitioning of SURVEY.md 5.7 ("ring-attention of BA",
+    BASELINE config 4). Per chip:
+
+      - channels/grads: W/n_frames frames (the memory that used to be
+        replicated — the whole point of this layout)
+      - point tensors: N/n_points points
+      - per LM iteration: psum(hpp, bp) over 'frames', psum+all_gather of
+        the tiny pose blocks, one all_gather of the (N_local, W, 3, 6)
+        coupling over 'frames', psum(S, rhs) over 'points'; poses and the
+        reduced 6W x 6W solve replicated everywhere.
+
+    Signature: solver(t_wc (W,4,4), x (N,3), patch, channels (W,...),
+    grads, obs (N,W), point_valid (N,), frozen (W,)[, ref_slot (N,),
+    inv_depth_seed (N,)]) — the trailing two only when depth_prior_weight>0.
+    """
+    check_point_capacity(n_points, mesh)
+    n_frames = mesh.shape[FRAMES_AXIS]
+    if window_size % n_frames != 0:
+        raise ValueError(
+            f"window size {window_size} not divisible by frames axis "
+            f"{n_frames}")
+    w_local = window_size // n_frames
+    use_prior = depth_prior_weight > 0.0
+
+    def solve_local(t_wc, x_world, patch, channels, grads, obs_mask,
+                    point_valid, frozen, ref_slot=None, seed=None):
+        sc = lm.ShardCtx(
+            reduce_points=lambda v: jax.lax.psum(v, POINTS_AXIS),
+            reduce_frames=lambda v: jax.lax.psum(v, FRAMES_AXIS),
+            reduce_obs=lambda v: jax.lax.psum(v, (FRAMES_AXIS, POINTS_AXIS)),
+            gather_frames=lambda v, axis: jax.lax.all_gather(
+                v, FRAMES_AXIS, axis=axis, tiled=True),
+            frame_offset=jax.lax.axis_index(FRAMES_AXIS) * w_local,
+        )
+        depth_prior = ((ref_slot, seed, depth_prior_weight)
+                       if use_prior else None)
+        return lm.lm_solve(
+            cam, t_wc, x_world, patch, channels, grads, obs_mask,
+            point_valid, frozen, offsets,
+            huber_delta=huber_delta, gradient_mode=gradient_mode,
+            backend=backend, depth_prior=depth_prior,
+            motion_prior_weight=motion_prior_weight,
+            max_iterations=max_iterations,
+            function_tolerance=function_tolerance,
+            parameter_tolerance=parameter_tolerance,
+            shard_ctx=sc,
+        )
+
+    pt, fr, rep = P(POINTS_AXIS), P(FRAMES_AXIS), P()
+    in_specs = [rep, pt, pt, fr, fr, P(POINTS_AXIS, FRAMES_AXIS), pt, rep]
+    if use_prior:
+        in_specs += [pt, pt]
+    return jax.jit(
+        jax.shard_map(
+            solve_local,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(rep, pt, _stats_specs(rep)),
+            check_vma=False,
+        )
     )
 
 

@@ -13,6 +13,8 @@ from photobundle_tpu.parallel import make_mesh
 from photobundle_tpu.parallel.sharded import (
     ShardedLMSolver,
     make_batched_sharded_solver,
+    make_frames_mesh,
+    make_frames_sharded_solver,
 )
 
 from synthetic import perturb_poses, pose_errors
@@ -62,6 +64,60 @@ def test_sharded_rejects_bad_capacity(rng):
     mesh = make_mesh(points=8, windows=1)
     with pytest.raises(ValueError):
         ShardedLMSolver(mesh, cam, off, n_points=63, huber_delta=1.0)
+
+
+def test_frames_sharded_matches_single_device(rng):
+    """('frames'=2, 'points'=4) 2-D mesh (SURVEY.md 5.7, BASELINE config 4):
+    window images sharded over frames, Schur assembled via
+    psum(frames)+psum(points)+all_gather(frames) — must match the
+    single-device solve."""
+    cam, off, args = make_inputs(rng, n_pts=64, w=4)
+    kw = dict(huber_delta=1e9, gradient_mode="sampled", max_iterations=8)
+
+    t_single, x_single, s_single = lm.lm_solve(cam, *args[:2], *args[2:6],
+                                               args[6], args[7], off, **kw)
+
+    mesh = make_frames_mesh(frames=2, points=4)
+    solver = make_frames_sharded_solver(mesh, cam, off, n_points=64,
+                                        window_size=4, **kw)
+    t_shard, x_shard, s_shard = solver(*args)
+
+    np.testing.assert_allclose(np.asarray(t_shard), np.asarray(t_single),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(float(s_shard.final_cost),
+                               float(s_single.final_cost), rtol=1e-3)
+    assert int(s_shard.iterations) == int(s_single.iterations)
+
+
+def test_frames_sharded_with_priors_matches(rng):
+    """Frames sharding with the inverse-depth prior (global ref_slot ->
+    local comparison) and the motion prior (replicated pose math): both
+    must survive the 2-D layout."""
+    import jax.numpy as jnp
+
+    cam, off, args = make_inputs(rng, n_pts=32, w=4)
+    t_init, x, patch, ch, g, obs, pv, frozen = args
+    ref_slot = jnp.asarray(rng.integers(0, 4, size=32), jnp.int32)
+    y = np.asarray(x)  # world == camera frame 0 here; crude seed
+    seed = jnp.asarray(1.0 / np.maximum(y[:, 2], 0.1))
+    kw = dict(huber_delta=1e9, gradient_mode="sampled", max_iterations=6)
+
+    t_single, x_single, s_single = lm.lm_solve(
+        cam, t_init, x, patch, ch, g, obs, pv, frozen, off,
+        depth_prior=(ref_slot, seed, 2.0), motion_prior_weight=1.0, **kw)
+
+    mesh = make_frames_mesh(frames=4, points=2)
+    solver = make_frames_sharded_solver(
+        mesh, cam, off, n_points=32, window_size=4,
+        depth_prior_weight=2.0, motion_prior_weight=1.0, **kw)
+    t_shard, x_shard, s_shard = solver(t_init, x, patch, ch, g, obs, pv,
+                                       frozen, ref_slot, seed)
+    np.testing.assert_allclose(np.asarray(t_shard), np.asarray(t_single),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(float(s_shard.final_cost),
+                               float(s_single.final_cost), rtol=1e-3)
 
 
 def test_batched_multi_window_solver(rng):
