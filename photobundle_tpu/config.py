@@ -229,15 +229,19 @@ class PBAConfig:
         return "bicubic" if self.interpolation == "bicubic" else self.gradientMode
 
     def resolve_backend(self) -> str:
-        """'auto' -> fused Pallas kernel on TPU (bilinear sampled-gradient
-        path), else XLA."""
+        """'auto' -> fused Pallas kernels on TPU: the bilinear warp kernel
+        (gradientMode='sampled') or the Catmull-Rom kernel
+        (interpolation='bicubic', exact surface gradients in-kernel);
+        XLA elsewhere."""
         if self.solverBackend != "auto":
             return self.solverBackend
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        return "pallas" if (on_tpu and self.gradientMode == "sampled"
-                            and self.interpolation == "bilinear") else "xla"
+        fast_path = ((self.interpolation == "bilinear"
+                      and self.gradientMode == "sampled")
+                     or self.interpolation == "bicubic")
+        return "pallas" if (on_tpu and fast_path) else "xla"
 
     def validate(self) -> "PBAConfig":
         if self.descriptor not in _DESCRIPTOR_CHANNELS:

@@ -158,7 +158,9 @@ def lm_solve(
         from .residuals import make_pallas_ctx
 
         pr = (int(round(offsets.shape[0] ** 0.5)) - 1) // 2
-        eval_ctx = make_pallas_ctx(channels, grads, patch, pr)
+        eval_ctx = make_pallas_ctx(
+            channels, grads, patch, pr,
+            mode="bicubic" if gradient_mode == "bicubic" else "sampled")
 
     def eval_stats(t, x):
         return evaluate_compressed(cam, slice_frames(t), x, patch, channels,
@@ -233,7 +235,7 @@ def lm_solve(
             bp=sc.reduce_frames(eq.bp),
             hcc=sc.gather_frames(sc.reduce_points(eq.hcc), 0),
             bc=sc.gather_frames(sc.reduce_points(eq.bc), 0),
-            hpc=sc.gather_frames(eq.hpc, 1),
+            hpc=sc.gather_frames(eq.hpc, 0),   # (W_local,3,6,N) -> (W,...)
         )
         coupling = None
         if use_motion:
@@ -282,7 +284,7 @@ def lm_solve(
         # 2-norm composes with the cross-shard psum; Ceres uses max-norm).
         g2 = (jnp.sum((eq.bc * (~frz).astype(eq.bc.dtype)[:, None]) ** 2)
               + sc.reduce_points(jnp.sum(
-                  (eq.bp * point_valid.astype(eq.bp.dtype)[:, None]) ** 2)))
+                  (eq.bp * point_valid.astype(eq.bp.dtype)[None, :]) ** 2)))
         gtol_hit = (jnp.sqrt(g2) <= gradient_tolerance) & (gradient_tolerance > 0)
         term = jnp.where(gtol_hit, 5,
                          jnp.where(ftol_hit, 2,

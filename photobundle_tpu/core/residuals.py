@@ -245,13 +245,18 @@ class CompressedResiduals(NamedTuple):
     the naive path never materializes — at D = 25 this cuts the HBM traffic
     of normal-equation assembly by ~12x. The optional inverse-depth prior
     row does not share the A chain, so it is carried as an explicit rank-1
-    (jp, rp) pair (whitened by sqrt(w))."""
+    (jp, rp) pair (whitened by sqrt(w)).
 
-    a: jax.Array        # (N, W, 2, 9) du/d[pose(6) | point(3)]
-    gtg: jax.Array      # (N, W, 2, 2) whitened gradient Gram
-    gtr: jax.Array      # (N, W, 2)    whitened G^T r
-    jp: jax.Array       # (N, W, 9)    whitened prior Jacobian row
-    rp: jax.Array       # (N, W)       whitened prior residual
+    LAYOUT: the POINT axis is MINOR (last). TPU tiles the last two dims of
+    every array to (8, 128); point-major layouts with tiny trailing dims
+    ((N, W, 2, 9) etc.) pad each block to a full tile — a measured 10x
+    slowdown of normal-equation assembly (see core/schur.py docstring)."""
+
+    a: jax.Array        # (W, 2, 9, N) du/d[pose(6) | point(3)]
+    gtg: jax.Array      # (W, 2, 2, N) whitened gradient Gram
+    gtr: jax.Array      # (W, 2, N)    whitened G^T r
+    jp: jax.Array       # (W, 9, N)    whitened prior Jacobian row
+    rp: jax.Array       # (W, N)       whitened prior residual
     valid: jax.Array    # (N, W)
     cost: jax.Array
     n_residuals: jax.Array
@@ -275,26 +280,37 @@ def _prior_terms(f, t_wc_f, y, valid, depth_prior, dtype):
     return rp, jp
 
 
-def make_pallas_ctx(channels, grads, patch, patch_radius: int):
-    """Prebuilt sampling context for the Pallas backend: lane-interleaved
-    image panels (ops/patch_warp). Build ONCE per solve and pass to
-    evaluate_compressed — images are loop-invariant across LM iterations
-    and the panel relayout is not free."""
+def make_pallas_ctx(channels, grads, patch, patch_radius: int,
+                    mode: str = "sampled"):
+    """Prebuilt sampling context for the Pallas backend: image panels
+    (ops/patch_warp). Build ONCE per solve and pass to evaluate_compressed
+    — images are loop-invariant across LM iterations and the panel
+    relayout is not free.
+
+    mode='sampled': lane-interleaved (value, gx, gy) panels for the
+    bilinear warp kernel. mode='bicubic': value-only panels; the bicubic
+    kernel computes exact Catmull-Rom surface gradients in-kernel (Ceres
+    BiCubicInterpolator parity)."""
     from ..ops import patch_warp as pw_mod
 
     ps = int(round(patch.shape[2] ** 0.5))
     pr = (ps - 1) // 2
-    return (pw_mod.build_interleaved_panels(channels, grads, pr),)
+    if mode == "bicubic":
+        return ("bicubic", pw_mod.build_value_panels(channels, pr))
+    return ("sampled", pw_mod.build_interleaved_panels(channels, grads, pr))
 
 
 def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
                                 obs_mask, offsets, huber_delta: float,
                                 depth_prior: tuple | None,
                                 interpret: bool,
+                                mode: str = "sampled",
                                 ctx=None) -> CompressedResiduals:
     """Kernel-backed path: ops/patch_warp samples (value, gx, gy) patches —
     the one op XLA gathers ruin — and the stat algebra (means, Grams,
-    Huber) runs as dense XLA, identical to the gather path's math."""
+    Huber) runs as dense XLA, identical to the gather path's math.
+    mode='bicubic' routes sampling through the Catmull-Rom kernel with
+    exact in-kernel surface gradients (Ceres parity)."""
     from ..ops import patch_warp as pw_mod
 
     n, w = obs_mask.shape
@@ -302,11 +318,18 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
     pr = (int(round(patch.shape[2] ** 0.5)) - 1) // 2   # P = (2R+1)^2
     use_prior = depth_prior is not None and depth_prior[2] > 0.0
     img_h, img_w = channels.shape[-2], channels.shape[-1]
+    # Full-support margins: bilinear needs 2x2 per sample, bicubic 4x4
+    # (one extra pixel on each side — matches interp.bicubic_with_grad's
+    # per-sample validity over the whole patch).
+    if mode == "bicubic":
+        lo, hi = pr + 1, 3 + pr
+    else:
+        lo, hi = pr, 2 + pr
 
     def per_frame_geom(f, t_wc_f, obs_f):
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
-        in_bounds = ((uv[..., 0] >= pr) & (uv[..., 0] <= img_w - 2 - pr) &
-                     (uv[..., 1] >= pr) & (uv[..., 1] <= img_h - 2 - pr))
+        in_bounds = ((uv[..., 0] >= lo) & (uv[..., 0] <= img_w - hi) &
+                     (uv[..., 1] >= lo) & (uv[..., 1] <= img_h - hi))
         valid = obs_f & in_front & in_bounds
         if use_prior:
             rp, jp = _prior_terms(f, t_wc_f, y, valid, depth_prior, uv.dtype)
@@ -316,36 +339,56 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
         return uv, valid, a, rp, jp
 
     uv, valid, a, rp, jp = jax.vmap(
-        per_frame_geom, in_axes=(0, 0, 1), out_axes=1
+        per_frame_geom, in_axes=(0, 0, 1), out_axes=0
     )(jnp.arange(w, dtype=jnp.int32), t_wc, obs_mask)
+    # Frame-major geometry: uv (W, N, 2), valid (W, N), a (W, N, 2, 9).
 
     if ctx is None:
-        ctx = make_pallas_ctx(channels, grads, patch, pr)
-    (panels,) = ctx
-    s, gx, gy = pw_mod.warp_patches(panels, uv, valid, pr,
-                                    interpret=interpret)   # (N, W, C, P)
-    s = s - jnp.mean(s, axis=-1, keepdims=True)
-    r = (s - patch[:, None]).reshape(n, w, -1)             # (N, W, D)
-    g_c = jnp.stack([gx - jnp.mean(gx, axis=-1, keepdims=True),
-                     gy - jnp.mean(gy, axis=-1, keepdims=True)],
-                    axis=-1).reshape(n, w, -1, 2)          # (N, W, D, 2)
-    gtg = jnp.einsum("nwdi,nwdj->nwij", g_c, g_c)
-    gtr = jnp.einsum("nwdi,nwd->nwi", g_c, r)
-    rnorm2 = jnp.sum(r * r, axis=-1)
+        ctx = make_pallas_ctx(channels, grads, patch, pr, mode=mode)
+    ctx_mode, panels = ctx
+    if ctx_mode != mode:
+        raise ValueError(f"pallas ctx built for mode '{ctx_mode}', "
+                         f"evaluation requested '{mode}'")
+    uv_nm = jnp.moveaxis(uv, 0, 1)                         # (N, W, 2)
+    valid_nm = valid.T                                     # (N, W)
+    if mode == "bicubic":
+        s, gx, gy = pw_mod.warp_patches_bicubic(panels, uv_nm, valid_nm, pr,
+                                                interpret=interpret)
+    else:
+        s, gx, gy = pw_mod.warp_patches(panels, uv_nm, valid_nm, pr,
+                                        interpret=interpret)  # (N, W, C, P)
+    # Stats in the point-minor layout (see CompressedResiduals docstring):
+    # every reduction below runs over packed (W, D, N) planes.
+    s = jnp.transpose(s, (1, 2, 3, 0))                     # (W, C, P, N)
+    gx = jnp.transpose(gx, (1, 2, 3, 0))
+    gy = jnp.transpose(gy, (1, 2, 3, 0))
+    patch_t = jnp.transpose(patch, (1, 2, 0))              # (C, P, N)
+    s = s - jnp.mean(s, axis=2, keepdims=True)
+    r = (s - patch_t[None]).reshape(w, -1, n)              # (W, D, N)
+    gx_c = (gx - jnp.mean(gx, axis=2, keepdims=True)).reshape(w, -1, n)
+    gy_c = (gy - jnp.mean(gy, axis=2, keepdims=True)).reshape(w, -1, n)
+    g00 = jnp.sum(gx_c * gx_c, axis=1)                     # (W, N)
+    g01 = jnp.sum(gx_c * gy_c, axis=1)
+    g11 = jnp.sum(gy_c * gy_c, axis=1)
+    gtg = jnp.stack([jnp.stack([g00, g01], axis=1),
+                     jnp.stack([g01, g11], axis=1)], axis=1)  # (W, 2, 2, N)
+    gtr = jnp.stack([jnp.sum(gx_c * r, axis=1),
+                     jnp.sum(gy_c * r, axis=1)], axis=1)      # (W, 2, N)
+    rnorm2 = jnp.sum(r * r, axis=1)                           # (W, N)
 
     rnorm2 = rnorm2 + rp * rp
-    vf = valid.astype(gtg.dtype)
+    vf = valid.astype(gtg.dtype)                              # (W, N)
     rnorm2 = rnorm2 * vf
     w_huber, rho = _huber_weight(rnorm2, huber_delta)
     wv = w_huber * vf
     sw = jnp.sqrt(w_huber) * vf
     return CompressedResiduals(
-        a=a,
-        gtg=gtg * wv[..., None, None],
-        gtr=gtr * wv[..., None],
-        jp=jp * sw[..., None],
+        a=jnp.transpose(a, (0, 2, 3, 1)),                     # (W, 2, 9, N)
+        gtg=gtg * wv[:, None, None, :],
+        gtr=gtr * wv[:, None, :],
+        jp=jnp.moveaxis(jp, 1, -1) * sw[:, None, :],
         rp=rp * sw,
-        valid=valid,
+        valid=valid_nm,
         cost=0.5 * jnp.sum(rho * vf),
         n_residuals=jnp.sum(valid.astype(jnp.int32)),
     )
@@ -364,16 +407,21 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
     schur.build_normal_equations_compressed) at a fraction of the memory
     traffic. This is the production path; `evaluate` remains as the oracle.
 
-    backend='pallas' routes sampling + reduction through the fused TPU
-    kernel (ops/patch_stats; requires gradient_mode='sampled'); 'xla' is the
-    portable gather-based path.
+    backend='pallas' routes sampling through the fused TPU kernels
+    (ops/patch_warp): gradient_mode='sampled' uses the bilinear warp
+    kernel over interleaved (value, gx, gy) panels; 'bicubic' uses the
+    Catmull-Rom kernel with exact in-kernel surface gradients (Ceres
+    BiCubicInterpolator parity). 'xla' is the portable gather-based path.
     """
     if backend == "pallas":
-        if gradient_mode != "sampled":
-            raise ValueError("pallas backend implements gradient_mode='sampled'")
+        if gradient_mode not in ("sampled", "bicubic"):
+            raise ValueError(
+                "pallas backend implements gradient_mode 'sampled' or "
+                f"'bicubic', not '{gradient_mode}'")
         return _evaluate_compressed_pallas(
             cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
-            huber_delta, depth_prior, interpret, ctx=ctx)
+            huber_delta, depth_prior, interpret, mode=gradient_mode,
+            ctx=ctx)
     n, w = obs_mask.shape
     use_prior = depth_prior is not None and depth_prior[2] > 0.0
 
@@ -408,21 +456,23 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
         return a, gtg, gtr, jp, rp, valid, r_norm2
 
     a, gtg, gtr, jp, rp, valid, r_norm2 = jax.vmap(
-        per_frame, in_axes=(0, 0, 0, 0, 1), out_axes=1
+        per_frame, in_axes=(0, 0, 0, 0, 1), out_axes=0
     )(jnp.arange(w, dtype=jnp.int32), t_wc, channels, grads, obs_mask)
 
-    vf = valid.astype(gtg.dtype)                              # (N, W)
+    # Frame-major (W, N, ...) out of the vmap; whiten then emit the
+    # point-minor layout (see CompressedResiduals docstring).
+    vf = valid.astype(gtg.dtype)                              # (W, N)
     r_norm2 = r_norm2 * vf
     w_huber, rho = _huber_weight(r_norm2, huber_delta)
     wv = w_huber * vf            # J^T J / J^T r carry the squared whitening
     sw = jnp.sqrt(w_huber) * vf
     return CompressedResiduals(
-        a=a,
-        gtg=gtg * wv[..., None, None],
-        gtr=gtr * wv[..., None],
-        jp=jp * sw[..., None],
+        a=jnp.moveaxis(a, 1, -1),                             # (W, 2, 9, N)
+        gtg=jnp.moveaxis(gtg, 1, -1) * wv[:, None, None, :],
+        gtr=jnp.moveaxis(gtr, 1, -1) * wv[:, None, :],
+        jp=jnp.moveaxis(jp, 1, -1) * sw[:, None, :],
         rp=rp * sw,
-        valid=valid,
+        valid=valid.T,                                        # (N, W)
         cost=0.5 * jnp.sum(rho * vf),
         n_residuals=jnp.sum(valid.astype(jnp.int32)),
     )

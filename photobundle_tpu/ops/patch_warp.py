@@ -99,6 +99,174 @@ def _warp_kernel(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, out_ref, *,
     jax.lax.fori_loop(0, chunk // unroll, body, 0, unroll=False)
 
 
+def value_lane_stride(patch_radius: int) -> int:
+    """Panel lane stride for VALUE-ONLY panels (bicubic kernel): window =
+    ps+3 lanes (4x4 Catmull-Rom support across a ps-wide patch), no
+    interleave phase constraint."""
+    return PANEL_W - (2 * patch_radius + 1 + 3)
+
+
+def num_value_panels(width: int, patch_radius: int) -> int:
+    if width <= PANEL_W:
+        return 1
+    return int(np.ceil((width - PANEL_W) / value_lane_stride(patch_radius))) + 1
+
+
+def build_value_panels(channels: jax.Array, patch_radius: int) -> jax.Array:
+    """(W, C, H, Wi) channel values -> (W, C, NPANEL, H, 128) overlapping
+    panels (no gradient interleave — the bicubic kernel computes exact
+    surface gradients from values alone)."""
+    w, c, h, wi = channels.shape
+    stride = value_lane_stride(patch_radius)
+    n_pan = num_value_panels(wi, patch_radius)
+    need = (n_pan - 1) * stride + PANEL_W
+    img = channels
+    if need > wi:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, need - wi)))
+    pans = [img[..., p * stride:p * stride + PANEL_W] for p in range(n_pan)]
+    return jnp.stack(pans, axis=2)
+
+
+def _catmull_rom_w(t):
+    t2 = t * t
+    t3 = t2 * t
+    return (0.5 * (-t3 + 2.0 * t2 - t),
+            0.5 * (3.0 * t3 - 5.0 * t2 + 2.0),
+            0.5 * (-3.0 * t3 + 4.0 * t2 + t),
+            0.5 * (t3 - t2))
+
+
+def _catmull_rom_dw(t):
+    t2 = t * t
+    return (0.5 * (-3.0 * t2 + 4.0 * t - 1.0),
+            0.5 * (9.0 * t2 - 10.0 * t),
+            0.5 * (-9.0 * t2 + 8.0 * t + 1.0),
+            0.5 * (3.0 * t2 - 2.0 * t))
+
+
+def _bicubic_kernel(y_ref, pan_ref, off_ref, txty_ref, img_ref, out_ref, *,
+                    chunk: int, patch_radius: int):
+    """Catmull-Rom warp with EXACT analytic surface gradients (Ceres'
+    BiCubicInterpolator semantics, reference pb:src/photobundle.cc): per
+    observation one (ps+3, 128) row load, one roll, separable row/column
+    weight combines (8 + 12 FMAs on (ps+3, ps)/(ps, ps) slices), ps row
+    stores of the lane-concatenated (ps, 3ps) [value | d/dx | d/dy]."""
+    ps = 2 * patch_radius + 1
+    win = ps + 3
+    unroll = next(u for u in (16, 8, 4, 2, 1) if chunk % u == 0)
+
+    def one(i):
+        y0 = y_ref[0, 0, i]
+        p = pan_ref[0, 0, i]
+        o = off_ref[0, 0, i]
+        tx = txty_ref[0, 0, i]
+        ty = txty_ref[0, 1, i]
+        wx = _catmull_rom_w(tx)
+        dwx = _catmull_rom_dw(tx)
+        wy = _catmull_rom_w(ty)
+        dwy = _catmull_rom_dw(ty)
+        rows = img_ref[0, 0, p, pl.ds(y0, win), :]          # (win, 128)
+        wnd = pltpu.roll(rows, -o, 1)[:, :win]              # (win, win)
+        rv = sum(wx[j] * wnd[:, j:j + ps] for j in range(4))   # (win, ps)
+        rd = sum(dwx[j] * wnd[:, j:j + ps] for j in range(4))  # (win, ps)
+        v = sum(wy[j] * rv[j:j + ps, :] for j in range(4))     # (ps, ps)
+        gx = sum(wy[j] * rd[j:j + ps, :] for j in range(4))
+        gy = sum(dwy[j] * rv[j:j + ps, :] for j in range(4))
+        s3 = jnp.concatenate([v, gx, gy], axis=1)           # (ps, 3ps)
+        for k in range(ps):
+            out_ref[0, k, i, :] = s3[k]
+
+    def body(g, _):
+        for u in range(unroll):
+            one(g * unroll + u)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_radius", "interpret"))
+def warp_patches_bicubic(panels: jax.Array, uv: jax.Array, valid: jax.Array,
+                         patch_radius: int, interpret: bool = False):
+    """Catmull-Rom sample (value, exact d/dx, exact d/dy) patches.
+
+    Args:
+      panels: (W, C, NPANEL, H, 128) from build_value_panels.
+      uv: (N, W, 2); valid: (N, W) (invalid coords clamped, mask downstream).
+
+    Returns (s, gx, gy), each (N, W, C, P). For observations whose full
+    (patch + 4x4) support is interior, values are identical to
+    image/interp.bicubic_with_grad (same weights, same separable order).
+    """
+    n, w, _ = uv.shape
+    c = panels.shape[1]
+    n_pan = panels.shape[2]
+    h = panels.shape[3]
+    stride = value_lane_stride(patch_radius)
+    ps = 2 * patch_radius + 1
+    win = ps + 3
+
+    x = jnp.where(valid, uv[..., 0], jnp.asarray(patch_radius + 2.0))
+    y = jnp.where(valid, uv[..., 1], jnp.asarray(patch_radius + 2.0))
+    xf = jnp.floor(x)
+    yf = jnp.floor(y)
+    x0 = xf.astype(jnp.int32) - patch_radius - 1
+    y0 = yf.astype(jnp.int32) - patch_radius - 1
+    tx = (x - xf).astype(jnp.float32)
+    ty = (y - yf).astype(jnp.float32)
+    max_lane0 = (n_pan - 1) * stride + PANEL_W - win
+    lane0 = jnp.clip(x0, 0, max_lane0)
+    y0 = jnp.clip(y0, 0, h - win)
+    pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
+    off = (lane0 - pan * stride).astype(jnp.int32)
+
+    m = n * w
+    chunk = min(_MAX_SMEM_CHUNK, n)
+    while n % chunk != 0:
+        chunk //= 2
+    steps_per_frame = n // chunk
+    n_steps = m // chunk
+
+    def fm(a):
+        return jnp.moveaxis(a, 0, 1).reshape(n_steps, 1, chunk)
+
+    kern = functools.partial(_bicubic_kernel, chunk=chunk,
+                             patch_radius=patch_radius)
+    smem_vec = lambda: pl.BlockSpec(
+        (1, 1, chunk), lambda ci, s: (s, 0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(c, n_steps),
+        in_specs=[
+            smem_vec(),  # y0
+            smem_vec(),  # panel
+            smem_vec(),  # lane offset
+            pl.BlockSpec((1, 2, chunk), lambda ci, s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_pan, h, PANEL_W),
+                         lambda ci, s: (s // steps_per_frame, ci, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ps, chunk, 3 * ps),
+                               lambda ci, s: (ci, 0, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, ps, m, 3 * ps), jnp.float32),
+        interpret=interpret,
+    )(
+        fm(y0), fm(pan), fm(off),
+        jnp.stack([jnp.moveaxis(tx, 0, 1).reshape(n_steps, chunk),
+                   jnp.moveaxis(ty, 0, 1).reshape(n_steps, chunk)], axis=1),
+        panels.astype(jnp.float32),
+    )
+
+    # (C, PS, m, 3PS) with lanes = [v(ps) | gx(ps) | gy(ps)] per row.
+    out = out.reshape(c, ps, w, n, 3, ps)
+    out = jnp.moveaxis(out, (3, 2, 0), (0, 1, 2))   # (N, W, C, PSy, 3, PSx)
+    s = out[..., 0, :].reshape(n, w, c, ps * ps)
+    gx = out[..., 1, :].reshape(n, w, c, ps * ps)
+    gy = out[..., 2, :].reshape(n, w, c, ps * ps)
+    return s, gx, gy
+
+
 def _warp_kernel_block(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, out_ref, *,
                        chunk: int, patch_radius: int, raw: bool):
     """Round-2 variants of _warp_kernel with ONE store per observation

@@ -136,6 +136,118 @@ def pose_errors(poses_a, poses_b):
     return t_rmse, r_rmse
 
 
+BOX_HALF = 60.0           # half-extent (m) of the textured box room
+BOX_GROUND = 1.65         # camera height above ground (KITTI-like)
+BOX_CEIL = -25.0          # "sky" plane (camera y is DOWN-positive)
+
+
+def render_box(tex, cam: Camera, t_wc: np.ndarray, shape,
+               max_depth: float = 250.0):
+    """Render image + z-depth of a large textured box room (ground at
+    y=+BOX_GROUND, walls at x,z = +/-BOX_HALF, ceiling at y=BOX_CEIL;
+    camera convention: x right, y down, z forward). The box is a single
+    rigid world, so ANY in-box trajectory — including real turns — stays
+    multi-view photometrically consistent to float precision; near-field
+    signal comes from the ground (the 'road'), far field from the walls.
+    Viewed from inside a convex box every ray exits through exactly one
+    face: depth = min positive ray-plane t."""
+    h, w = shape
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    fx, fy, cx, cy = float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)
+    d_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], axis=-1
+    )
+    r = t_wc[:3, :3].astype(np.float64)
+    o = t_wc[:3, 3].astype(np.float64)
+    d_world = d_cam @ r.T                        # (H, W, 3)
+
+    big = 1e9
+    t_best = np.full((h, w), big)
+    for axis, value in ((0, -BOX_HALF), (0, BOX_HALF),
+                        (2, -BOX_HALF), (2, BOX_HALF),
+                        (1, BOX_GROUND), (1, BOX_CEIL)):
+        d_ax = d_world[..., axis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (value - o[axis]) / d_ax
+        t = np.where(np.isfinite(t) & (t > 0.1), t, big)
+        t_best = np.minimum(t_best, t)
+    x_world = o + t_best[..., None] * d_world
+    img = sample_texture3d(tex, x_world)
+    depth = (t_best * d_cam[..., 2]).astype(np.float32)
+    return img, np.where(depth < max_depth, depth, 0.0).astype(np.float32)
+
+
+def kitti_like_trajectory(n_frames: int, step: float = 0.8,
+                          straight: int = 70, turn: int = 25) -> np.ndarray:
+    """seq-00-style block-loop motion: alternating straights and 90-degree
+    right turns (rounded corners), starting at (-28, 0, -28) heading +z —
+    stays well inside the BOX_HALF=60 room for any n_frames."""
+    from photobundle_tpu.geometry import se3 as _se3
+
+    poses = []
+    t_wc = np.eye(4, dtype=np.float64)
+    t_wc[0, 3] = -28.0
+    t_wc[2, 3] = -28.0
+    yaw_rate = (np.pi / 2) / turn
+    i = 0
+    while len(poses) < n_frames:
+        phase = i % (straight + turn)
+        yaw = yaw_rate if phase >= straight else 0.0
+        poses.append(t_wc.astype(np.float32).copy())
+        xi = np.array([0.0, 0.0, step, 0.0, yaw, 0.0], np.float32)
+        t_wc = t_wc @ np.asarray(_se3.se3_exp(jnp.asarray(xi)), np.float64)
+        i += 1
+    return np.stack(poses)
+
+
+def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
+                            shape=(370, 1226), fx=707.0, baseline=0.537,
+                            step=0.8,
+                            min_wavelength=0.25, max_wavelength=4.0):
+    """KITTI-scale golden dataset (BASELINE configs 1/2 stand-in until real
+    KITTI exists on disk): textured box room, seq-00-style block-loop
+    trajectory (straights + 90-degree turns), true KITTI calibration scale
+    (fx=707, b=0.537 m, 370x1226), stereo PNG pairs + calib/times/poses in
+    odometry layout."""
+    import os
+
+    from PIL import Image
+
+    h, w = shape
+    cam = Camera.create(fx=fx, fy=fx, cx=w / 2 - 0.5, cy=h / 2 - 0.5,
+                        baseline=baseline)
+    seq_dir = os.path.join(root, "sequences", f"{sequence:02d}")
+    os.makedirs(os.path.join(seq_dir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "image_1"), exist_ok=True)
+    os.makedirs(os.path.join(root, "poses"), exist_ok=True)
+
+    tex = make_texture(rng, n_waves=96, min_wavelength=min_wavelength,
+                       max_wavelength=max_wavelength)
+    poses = kitti_like_trajectory(n_frames, step=step)
+
+    for i, p in enumerate(poses):
+        img_l, _ = render_box(tex, cam, p, shape)
+        pr = p.copy()
+        pr[:3, 3] = p[:3, 3] + p[:3, :3] @ np.array([baseline, 0, 0],
+                                                    np.float32)
+        img_r, _ = render_box(tex, cam, pr, shape)
+        for sub, im in (("image_0", img_l), ("image_1", img_r)):
+            arr = np.clip(im * 255, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(seq_dir, sub, f"{i:06d}.png"))
+
+    with open(os.path.join(seq_dir, "calib.txt"), "w") as f:
+        f.write(f"P0: {fx} 0 {w/2-0.5} 0 0 {fx} {h/2-0.5} 0 0 0 1 0\n")
+        f.write(f"P1: {fx} 0 {w/2-0.5} {-fx*baseline} 0 {fx} {h/2-0.5} 0 "
+                f"0 0 1 0\n")
+    with open(os.path.join(seq_dir, "times.txt"), "w") as f:
+        f.writelines(f"{i*0.1:.6f}\n" for i in range(n_frames))
+    with open(os.path.join(root, "poses", f"{sequence:02d}.txt"), "w") as f:
+        for p in poses:
+            f.write(" ".join(f"{v:.9f}" for v in p[:3].reshape(-1)) + "\n")
+    return poses, cam
+
+
 def write_kitti_dataset(root, sequence, rng, n_frames=10, shape=(96, 160),
                         fx=100.0, baseline=0.2, motion_scale=0.05,
                         rot_scale=0.002):

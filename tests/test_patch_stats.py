@@ -87,6 +87,36 @@ def test_kernel_cost_matches_xla(rng):
     assert int(out.n_residuals) == int(ref.n_residuals)
 
 
+def test_bicubic_kernel_matches_xla_path(rng):
+    """Catmull-Rom pallas kernel (exact in-kernel surface gradients) vs the
+    XLA bicubic gather path — identical weights, identical separable
+    order, so valid observations must agree to float precision."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=16, w=3)
+    obs = obs.at[1, 2].set(False)
+    kw = dict(huber_delta=0.07, gradient_mode="bicubic")
+    ref = res_mod.evaluate_compressed(cam, t_wc, x + 0.012, patch, ch, g,
+                                      obs, off, backend="xla", **kw)
+    out = res_mod.evaluate_compressed(cam, t_wc, x + 0.012, patch, ch, g,
+                                      obs, off, backend="pallas",
+                                      interpret=True, **kw)
+    ov, rv = np.asarray(out.valid), np.asarray(ref.valid)
+    # The kernel's whole-patch margin can reject a borderline observation
+    # the per-sample XLA path accepts; never the other way around.
+    assert not np.any(ov & ~rv)
+    both = ov & rv
+    assert both.sum() >= 0.8 * rv.sum()
+
+    def nm(x):  # (W, ..., N) point-minor -> (N, W, ...) for mask indexing
+        return np.moveaxis(np.asarray(x), -1, 0)
+
+    np.testing.assert_allclose(nm(out.gtg)[both], nm(ref.gtg)[both],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(nm(out.gtr)[both], nm(ref.gtr)[both],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(nm(out.a)[both], nm(ref.a)[both],
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_kernel_multichannel(rng):
     """IntensityAndGradient-style C=3 descriptors through the kernel."""
     cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=8, w=2)

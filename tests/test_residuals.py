@@ -183,7 +183,7 @@ def test_bicubic_compressed_matches_full(rng):
     comp = res_mod.evaluate_compressed(cam, t_wc, x + 0.01, patch, ch, g,
                                        obs, off, **kw)
     np.testing.assert_allclose(float(comp.cost), float(full.cost), rtol=1e-5)
-    eq_a = schur.build_normal_equations_compressed(comp)
+    eq_a = schur.to_point_major(schur.build_normal_equations_compressed(comp))
     eq_b = schur.build_normal_equations(full)
     for name in ("hpp", "hpc", "hcc", "bp", "bc"):
         np.testing.assert_allclose(np.asarray(getattr(eq_a, name)),

@@ -78,7 +78,8 @@ def test_schur_equals_dense_solve(rng):
     point_valid = jnp.ones((n,), bool)
     frozen = jnp.asarray([True, False, False])
 
-    sys_parts = schur.reduce_camera_system(eq, lam, point_valid, frozen)
+    sys_parts = schur.reduce_camera_system(schur.to_point_minor(eq), lam,
+                                           point_valid, frozen)
     dc_s, dp_s = schur.solve_reduced(sys_parts)
     dc_d, dp_d = schur.solve_dense_full(eq, lam, point_valid, frozen)
 
@@ -92,7 +93,9 @@ def test_schur_invalid_points_zero_update(rng):
     eq, out = make_eq(rng, n=6, w=3)
     point_valid = jnp.asarray([True, True, False, True, False, True])
     frozen = jnp.asarray([True, False, False])
-    sys_parts = schur.reduce_camera_system(eq, jnp.asarray(1e-3), point_valid, frozen)
+    sys_parts = schur.reduce_camera_system(schur.to_point_minor(eq),
+                                           jnp.asarray(1e-3), point_valid,
+                                           frozen)
     dc, dp = schur.solve_reduced(sys_parts)
     dp = np.asarray(dp)
     assert (dp[2] == 0).all() and (dp[4] == 0).all()
@@ -108,7 +111,9 @@ def test_gauss_newton_step_decreases_cost(rng):
     eq = schur.build_normal_equations(out)
     n = x.shape[0]
     frozen = jnp.asarray([True, True, True])  # only points move
-    sys_parts = schur.reduce_camera_system(eq, jnp.asarray(1e-4), jnp.ones((n,), bool), frozen)
+    sys_parts = schur.reduce_camera_system(schur.to_point_minor(eq),
+                                           jnp.asarray(1e-4),
+                                           jnp.ones((n,), bool), frozen)
     dc, dp = schur.solve_reduced(sys_parts)
     out2 = res_mod.evaluate(cam, t_wc, x_pert + dp, patch, ch, g, obs, off,
                             huber_delta=1e9, gradient_mode="exact",
@@ -138,8 +143,9 @@ def test_compressed_normal_equations_match_full(rng):
     comp = res_mod.evaluate_compressed(cam, t_wc, x, patch, ch, g, obs, off, **kw)
     np.testing.assert_allclose(float(comp.cost), float(full.cost), rtol=1e-5)
     assert int(comp.n_residuals) == int(full.n_residuals)
-    _assert_eq_close(schur.build_normal_equations_compressed(comp),
-                     schur.build_normal_equations(full), atol=2e-3)
+    _assert_eq_close(
+        schur.to_point_major(schur.build_normal_equations_compressed(comp)),
+        schur.build_normal_equations(full), atol=2e-3)
 
 
 def test_compressed_normal_equations_match_full_with_prior(rng):
@@ -154,5 +160,6 @@ def test_compressed_normal_equations_match_full_with_prior(rng):
     comp = res_mod.evaluate_compressed(cam, t_wc, x + 0.02, patch, ch, g, obs,
                                        off, **kw)
     np.testing.assert_allclose(float(comp.cost), float(full.cost), rtol=1e-5)
-    _assert_eq_close(schur.build_normal_equations_compressed(comp),
-                     schur.build_normal_equations(full), atol=2e-3)
+    _assert_eq_close(
+        schur.to_point_major(schur.build_normal_equations_compressed(comp)),
+        schur.build_normal_equations(full), atol=2e-3)

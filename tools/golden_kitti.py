@@ -1,0 +1,108 @@
+"""KITTI-scale synthetic golden (BASELINE configs 1/2 stand-in; round-1
+VERDICT item 5): 200-frame 370x1226 stereo sequence through a textured box
+room on a seq-00-style block loop (straights + 90-degree turns), BM-seeded
+depth, full CLI per config, init/refined/GT ATE table for BASELINE.md.
+
+    python tools/golden_kitti.py              # full chip run (TPU)
+    python tools/golden_kitti.py --frames 80  # smaller/faster
+
+The dataset is rendered once and cached under --root.
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from photobundle_tpu.config import ConfigFile, PBAConfig
+from photobundle_tpu.io import kitti as kitti_mod
+from photobundle_tpu.io import trajectory as traj_mod
+from photobundle_tpu import cli as cli_mod
+
+
+CONFIGS = {
+    # Reference-shape window: the configuration parity is judged at.
+    "reference_W5": dict(slidingWindowSize=5),
+    # Larger window + motion prior: the accuracy lever the TPU design
+    # unlocks (BASELINE.md round-1 accuracy table).
+    "W10_prior": dict(slidingWindowSize=10, motionPriorWeight=5.0),
+    # Coarse-to-fine (round-2): 3-level schedule at the reference window.
+    "W5_coarse2fine": dict(slidingWindowSize=5, pyramidLevels=3,
+                           coarseToFine=True),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/golden_kitti_box")
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--out-dir", default="/tmp/golden_kitti_out")
+    ap.add_argument("--drift-trans", type=float, default=0.03,
+                    help="per-frame random-walk translation drift (m)")
+    ap.add_argument("--drift-rot", type=float, default=0.002)
+    ap.add_argument("--configs", default=",".join(CONFIGS),
+                    help="comma-separated subset of configs to run")
+    args = ap.parse_args()
+
+    from synthetic import drift_poses, write_box_kitti_dataset
+
+    marker = os.path.join(args.root, f".rendered_{args.frames}")
+    if not os.path.exists(marker):
+        print(f"rendering {args.frames}-frame golden dataset -> {args.root} "
+              "(one-time, cached)...", flush=True)
+        t0 = time.time()
+        rng = np.random.default_rng(12)
+        write_box_kitti_dataset(args.root, 0, rng, n_frames=args.frames)
+        open(marker, "w").write("ok")
+        print(f"rendered in {time.time() - t0:.0f}s", flush=True)
+
+    gt = traj_mod.load_poses_kitti(
+        os.path.join(args.root, "poses", "00.txt"))
+    rng = np.random.default_rng(99)
+    init = drift_poses(rng, gt.poses.astype(np.float32),
+                       trans_sigma=args.drift_trans,
+                       rot_sigma=args.drift_rot, keep_first=2)
+    os.makedirs(args.out_dir, exist_ok=True)
+    init_path = os.path.join(args.out_dir, "vo_init.txt")
+    traj_mod.write_poses_kitti(init_path, traj_mod.Trajectory(
+        init.astype(np.float64)))
+    init_traj = traj_mod.load_poses_kitti(init_path)
+    ate_init = traj_mod.ate_rmse(init_traj, gt, align=False)
+    print(f"init ATE (drifting VO, {args.frames} frames): {ate_init:.4f} m")
+
+    rows = []
+    for name in args.configs.split(","):
+        overrides = CONFIGS[name]
+        cfg = PBAConfig(dataDir=args.root, sequence=0,
+                        stereoAlgorithm="BM", numDisparities=128,
+                        minDisparity=1, speckleWindowSize=120,
+                        **overrides)
+        dataset = kitti_mod.create_dataset(cfg)
+        out = os.path.join(args.out_dir, f"refined_{name}.txt")
+        t0 = time.time()
+        refined = cli_mod.run(cfg, dataset, init_traj, output=out,
+                              jsonl_path=out + ".jsonl", progress=False)
+        dt = time.time() - t0
+        ate_ref = traj_mod.ate_rmse(refined, gt, align=False)
+        red = 100.0 * (1.0 - ate_ref / ate_init)
+        rows.append((name, ate_ref, red, dt))
+        print(f"{name:16s}: refined ATE {ate_ref:.4f} m "
+              f"({red:+.1f}% vs init), {dt:.0f}s "
+              f"({args.frames / dt:.1f} keyframes/s)", flush=True)
+
+    print("\nBASELINE.md table:")
+    print("| Config | init ATE | refined ATE | reduction | keyframes/s |")
+    print("|---|---|---|---|---|")
+    for name, ate_ref, red, dt in rows:
+        print(f"| {name} | {ate_init:.4f} | {ate_ref:.4f} | {red:+.1f}% | "
+              f"{args.frames / dt:.1f} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
