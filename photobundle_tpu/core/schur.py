@@ -109,20 +109,23 @@ def build_normal_equations_compressed(res: CompressedResiduals) -> NormalEq:
     ga = (gtg[:, :, 0][:, :, None] * a[:, 0][:, None]
           + gtg[:, :, 1][:, :, None] * a[:, 1][:, None])     # (W, 2, 9, N)
 
-    # Pose diagonal blocks: contraction over (b, n) — one batched matmul
-    # of size (6, 3N) x (3N, 6) per frame; jp rides as a third "row".
+    # All blocks as broadcast-multiply-reduce over packed point-minor
+    # planes. NOT einsum/dot_general: a contraction whose OUTPUT keeps the
+    # N axis free lowers as a batched-over-N dot, and XLA transposes the
+    # operands into (padded) point-major batch layouts to do it — measured
+    # ~5x slower than the fused broadcast form.
+    # Pose diagonal blocks (N contracted — einsum = true MXU matmul).
     rows_c = jnp.concatenate([a[:, :, :6], jp[:, None, :6]], axis=1)
     cols_c = jnp.concatenate([ga[:, :, :6], jp[:, None, :6]], axis=1)
     hcc = jnp.einsum("wbin,wbjn->wij", rows_c, cols_c)       # (W, 6, 6)
 
-    # Point blocks: unrolled fused multiplies over packed (W, N) planes.
     ap, gap, jpp = a[:, :, 6:], ga[:, :, 6:], jp[:, 6:]      # (W,2,3,N), (W,3,N)
-    hpp = jnp.einsum("wbin,wbjn->ijn", ap, gap) + jnp.einsum(
-        "win,wjn->ijn", jpp, jpp)                            # (3, 3, N)
-    hpc = (jnp.einsum("wbin,wbjn->wijn", ap, ga[:, :, :6])
+    hpp = (jnp.sum(ap[:, :, :, None] * gap[:, :, None], axis=(0, 1))
+           + jnp.sum(jpp[:, :, None] * jpp[:, None], axis=0))  # (3, 3, N)
+    hpc = (jnp.sum(ap[:, :, :, None] * ga[:, :, None, :6], axis=1)
            + jpp[:, :, None] * jp[:, None, :6])              # (W, 3, 6, N)
 
-    b_obs = -(jnp.einsum("wbin,wbn->win", a, gtr) + jp * rp[:, None])
+    b_obs = -(jnp.sum(a * gtr[:, :, None], axis=1) + jp * rp[:, None])
     bp = jnp.sum(b_obs[:, 6:], axis=0)                       # (3, N)
     bc = jnp.sum(b_obs[:, :6], axis=-1)                      # (W, 6)
     return NormalEq(hpp=hpp, hpc=hpc, hcc=hcc, bp=bp, bc=bc)
@@ -220,8 +223,10 @@ def reduce_camera_system(eq: NormalEq, lam: jax.Array, point_valid: jax.Array,
         reduce_fn = lambda x: x
     w = eq.hcc.shape[0]
     hpp_inv = inv3x3_nlast(_damped_nlast(eq.hpp, lam), point_valid)  # (3,3,N)
-    # T[w, i, k, n] = sum_j W_p[i, j, n] Hpc[w, j, k, n] — fused multiplies.
-    t = jnp.einsum("ijn,wjkn->wikn", hpp_inv, eq.hpc)        # (W, 3, 6, N)
+    # T[w, i, k, n] = sum_j W_p[i, j, n] Hpc[w, j, k, n] — fused broadcast
+    # multiplies (free-minor-N einsum would transpose to padded layouts).
+    t = jnp.sum(hpp_inv[None, :, :, None] * eq.hpc[:, None], axis=2)
+    # (W, 3, 6, N)
     # S[f, g] -= sum_{j,n} Hpc[f, j, i, n] T[g, j, k, n]: ONE contraction
     # of size 3N — the matmul the MXU eats.
     s_off = reduce_fn(jnp.einsum("fjin,gjkn->fgik", eq.hpc, t))
@@ -263,8 +268,9 @@ def solve_reduced(sys: SchurSystem):
     chol = jax.scipy.linalg.cho_factor(s, lower=True)
     dc_flat = jax.scipy.linalg.cho_solve(chol, sys.rhs)
     dc = dc_flat.reshape(-1, 6)
-    rhs_p = sys.bp - jnp.einsum("fjin,fi->jn", sys.hpc_d, dc)    # (3, N)
-    dp = jnp.einsum("ijn,jn->in", sys.hpp_inv, rhs_p)            # (3, N)
+    rhs_p = sys.bp - jnp.sum(sys.hpc_d * dc[:, None, :, None],
+                             axis=(0, 2))                        # (3, N)
+    dp = jnp.sum(sys.hpp_inv * rhs_p[None], axis=1)              # (3, N)
     return dc, dp.T
 
 
