@@ -17,6 +17,20 @@ Layer map (mirrors SURVEY.md section 1, TPU-first):
     utils          — timing, logging, results
 """
 
+import jax as _jax
+
+# TPU MXU matmuls default to bfloat16 operand precision. That silently
+# QUANTIZES every pose product (T @ exp(xi), se3_inverse, transform_points)
+# and the world->camera point transform to ~8 mantissa bits: at KITTI world
+# coordinates (|t| ~ 30-500 m) a pose translation rounds by up to ~0.1 m
+# and projected pixels by several px — measured as frozen poses "moving"
+# 0.05 m per solve and refinement DEGRADING trajectories at scale, while
+# small-coordinate toy scenes hid it below test tolerances. Geometry needs
+# full f32; the few true MXU contractions here (Hcc, the reduced Schur
+# system) are tiny, so forcing the highest precision costs nothing
+# measurable (bench.py before/after is identical within noise).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import ConfigFile, PBAConfig
 from .geometry.camera import Camera
 

@@ -310,6 +310,34 @@ class PhotometricBundleAdjustment:
                 pv_k, frozen, ref_slot, points.inv_depth_seed,
                 reduce_fn=reduce_fn)
 
+        if self._n_coarse > 0:
+            # Warm-start guard: a coarse level optimizes ITS OWN objective
+            # (re-extracted descriptors on a decimated image); on windows
+            # with few/fresh points (e.g. during fast rotation) it can
+            # reduce coarse cost while walking the fine-level objective up.
+            # Accept the warm start only if it does not increase the
+            # FINE-level cost; otherwise fall back to the initialization.
+            from .residuals import evaluate_compressed as _ev
+
+            def fine_cost(t, x):
+                dp = ((ref_slot, points.inv_depth_seed, self._prior_scale)
+                      if cfg.depthPriorWeight > 0 else None)
+                res = _ev(self.camera, t, x, points.patch, window.channels,
+                          window.grads,
+                          points.obs & point_valid[:, None],
+                          self.offsets, cfg.robustThreshold,
+                          cfg.resolve_gradient_mode(), depth_prior=dp,
+                          backend=cfg.resolve_backend())
+                c = res.cost
+                if reduce_fn is not None:
+                    c = reduce_fn(c)
+                return c
+
+            use_warm = fine_cost(t_cur, x_cur) < fine_cost(
+                window.t_wc, points.x_world)
+            t_cur = jnp.where(use_warm, t_cur, window.t_wc)
+            x_cur = jnp.where(use_warm, x_cur, points.x_world)
+
         # ---- final solve at the refinement level (stored descriptors).
         t_wc, x_world, stats = solve(
             self.camera, self._prior_scale, cfg.maxIterations, anchor,

@@ -84,10 +84,17 @@ def _huber_weight(r_norm2: jax.Array, delta: float):
 
 def _observation_geometry(cam, t_wc_f, x_world):
     """Per-(frame) geometry for all points: camera point y, pixel u, and the
-    A = du/d[pose|point] (2, 9) chain. Shapes: x_world (N, 3)."""
+    A = du/d[pose|point] (2, 9) chain. Shapes: x_world (N, 3).
+
+    All tiny matmuls are unrolled into broadcast multiplies: per-point
+    (3,3)/(2,3) products on the MXU would run at bf16 operand precision by
+    default — at world-scale coordinates that quantizes camera-frame points
+    by ~0.1 m (see photobundle_tpu/__init__.py) — and at forced-f32 MXU
+    precision they cost 6 passes. The VPU form is exact f32 AND fast."""
     t_cw = se3.se3_inverse(t_wc_f)
     r_cw = t_cw[:3, :3]
-    y = x_world @ r_cw.T + t_cw[:3, 3]                    # (N, 3)
+    # y = R_cw x + t_cw — unrolled (9 fused multiplies on (N,) lanes).
+    y = (x_world[:, None, :] * r_cw[None, :, :]).sum(-1) + t_cw[:3, 3]
     uv, in_front = cam_mod.project(cam, y)                # (N, 2), (N,)
     jproj = cam_mod.project_jacobian(cam, y)              # (N, 2, 3)
     # dy/d(pose twist) under T <- T @ exp(xi): [-I | hat(y)]  -> (N, 3, 6)
@@ -95,8 +102,8 @@ def _observation_geometry(cam, t_wc_f, x_world):
     dy_dpose = jnp.concatenate(
         [jnp.broadcast_to(-jnp.eye(3, dtype=y.dtype), (n, 3, 3)), se3.hat(y)], axis=-1
     )
-    a_pose = jproj @ dy_dpose                             # (N, 2, 6)
-    a_point = jproj @ r_cw                                # (N, 2, 3)
+    a_pose = (jproj[..., :, :, None] * dy_dpose[..., None, :, :]).sum(-2)
+    a_point = (jproj[..., :, :, None] * r_cw[None, None, :, :]).sum(-2)
     return y, uv, in_front, jnp.concatenate([a_pose, a_point], axis=-1)  # A: (N, 2, 9)
 
 

@@ -82,6 +82,9 @@ def main() -> int:
                         stereoAlgorithm="BM", numDisparities=128,
                         minDisparity=1, speckleWindowSize=120,
                         **overrides)
+        # Note: this machine has 1 CPU core, so host-side stereo BM
+        # (~0.8 s/frame at 370x1226x128) dominates wall-clock; on a
+        # multi-core deployment host the prefetching loader hides it.
         dataset = kitti_mod.create_dataset(cfg)
         out = os.path.join(args.out_dir, f"refined_{name}.txt")
         t0 = time.time()
