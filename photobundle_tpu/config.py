@@ -108,8 +108,29 @@ class PBAConfig:
                                           # decode+stereo pool)
     minScore: float = 0.75                # ZNCC visibility gate
     maxFrameDistance: int = 1             # max age (frames) for re-tracking
+    occlusionThreshold: float = 0.0       # geometric visibility gate: do not
+                                          # record an observation when the
+                                          # point's predicted depth exceeds
+                                          # the frame's confident stereo
+                                          # depth at its projection by this
+                                          # relative margin (the point is
+                                          # behind a nearer surface; ZNCC
+                                          # alone misses occlusions on
+                                          # smooth texture). 0 = off
+                                          # (reference-exact default; enable
+                                          # ~0.2 on occlusion-heavy scenes).
     minDepth: float = 0.1
     maxDepth: float = 80.0
+    depthEdgeThreshold: float = 0.0       # reject selection candidates whose
+                                          # valid-depth spread under the patch
+                                          # support exceeds this fraction of
+                                          # the center depth (occlusion-
+                                          # boundary patches violate the
+                                          # fronto-parallel point model and
+                                          # bias poses). 0 = off
+                                          # (reference-exact default; enable
+                                          # ~0.1-0.2 on occlusion-heavy
+                                          # scenes).
 
     # --- solver ---
     maxIterations: int = 50
@@ -138,6 +159,19 @@ class PBAConfig:
                                           # (reference freezes 1; freezing 2
                                           # pins rotation+translation AND the
                                           # remaining scale DOF robustly)
+    maxPoseCorrection: float = 1.0        # window trust gate (meters): if a
+                                          # solve moves any pose farther than
+                                          # this from its initialization the
+                                          # WHOLE window result is rejected
+                                          # (poses/points revert; VO init
+                                          # kept). Photometric refinement
+                                          # legitimately corrects cm-scale
+                                          # error; meter-scale "corrections"
+                                          # are a diverged window (occlusion
+                                          # violations, degenerate geometry)
+                                          # that would otherwise cascade
+                                          # through the sliding chain.
+                                          # 0 disables (reference-exact).
     solverVerbose: bool = False           # print the per-iteration table
                                           # (cost / lambda / |step| / accept)
                                           # after each window solve

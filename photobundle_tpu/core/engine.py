@@ -200,6 +200,9 @@ class PhotometricBundleAdjustment:
             min_score=cfg.minScore,
             max_frame_distance=cfg.maxFrameDistance,
             border_margin=cfg.patchRadius + 1,
+            depth_new=depth_l,
+            depth_ok_new=ok_l,
+            occlusion_threshold=cfg.occlusionThreshold,
         )
         sel = selection.select_new_points(
             tr.points, self.camera, t_wc, lvl.channels, lvl.saliency,
@@ -211,6 +214,8 @@ class PhotometricBundleAdjustment:
             min_depth=cfg.minDepth,
             max_depth=cfg.maxDepth,
             border=cfg.patchRadius + 2,
+            edge_radius=cfg.patchRadius,
+            edge_threshold=cfg.depthEdgeThreshold,
         )
         diag = {
             "tracked": jnp.sum(tr.tracked.astype(jnp.int32)),
@@ -344,6 +349,19 @@ class PhotometricBundleAdjustment:
             t_cur, x_cur, points.patch, window.channels, window.grads,
             points.obs, point_valid, frozen, ref_slot,
             points.inv_depth_seed, reduce_fn=reduce_fn)
+        # Window trust gate (cfg.maxPoseCorrection): a diverged solve can
+        # DECREASE photometric cost while moving poses by meters (occlusion
+        # violations, degenerate forward-motion geometry); accepting it
+        # poisons every later window through the frozen-pose chain and the
+        # reanchor step. Reject the whole window when any pose moved
+        # implausibly far; the VO initialization is kept.
+        if cfg.maxPoseCorrection > 0:
+            corr = jnp.linalg.norm(
+                t_wc[:, :3, 3] - window.t_wc[:, :3, 3], axis=-1)
+            sane = jnp.max(corr) <= cfg.maxPoseCorrection
+            t_wc = jnp.where(sane, t_wc, window.t_wc)
+            x_world = jnp.where(sane, x_world, points.x_world)
+
         # Points excluded from the solve (fresh single-observation points)
         # were positioned with their reference frame's PRE-solve pose; move
         # them rigidly with that frame (X <- T_new T_old^{-1} X) so they stay

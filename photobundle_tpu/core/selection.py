@@ -77,6 +77,8 @@ def select_new_points(
     min_depth: float,
     max_depth: float,
     border: int,
+    edge_radius: int = 0,
+    edge_threshold: float = 0.0,
 ) -> SelectionResult:
     h, w = saliency_map.shape
     n = points.capacity
@@ -100,6 +102,24 @@ def select_new_points(
         nms & ~occupied & depth_ok & in_border
         & (depth >= min_depth) & (depth <= max_depth)
     )
+    if edge_threshold > 0 and edge_radius > 0:
+        # Depth-edge gate (cfg.depthEdgeThreshold): a patch straddling a
+        # depth discontinuity (occlusion boundary) violates the
+        # single-point fronto-parallel model — its residuals drag poses
+        # toward a compromise between fore- and background. Reject
+        # candidates whose valid-depth spread under the patch support
+        # exceeds a relative threshold.
+        k = 2 * edge_radius + 1
+        lo = jnp.where(depth_ok, depth, jnp.inf)
+        hi = jnp.where(depth_ok, depth, -jnp.inf)
+        dmin = -jax.lax.reduce_window(
+            -lo, -jnp.inf, jax.lax.max,
+            window_dimensions=(k, k), window_strides=(1, 1), padding="SAME")
+        dmax = jax.lax.reduce_window(
+            hi, -jnp.inf, jax.lax.max,
+            window_dimensions=(k, k), window_strides=(1, 1), padding="SAME")
+        gate = gate & ((dmax - dmin)
+                       <= edge_threshold * jnp.maximum(depth, 1e-3))
     score = jnp.where(gate, saliency_map, -jnp.inf).reshape(-1)
 
     top_scores, top_idx = jax.lax.top_k(score, max_new)        # (K,)

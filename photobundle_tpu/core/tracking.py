@@ -40,8 +40,17 @@ def track_into_frame(
     min_score: float,
     max_frame_distance: int,
     border_margin: float = 1.0,
+    depth_new: jax.Array | None = None,     # (H, W) new frame depth
+    depth_ok_new: jax.Array | None = None,  # (H, W)
+    occlusion_threshold: float = 0.0,
 ) -> TrackResult:
-    """Score all table points against the new frame; set obs[:, slot]."""
+    """Score all table points against the new frame; set obs[:, slot].
+
+    occlusion_threshold > 0 adds a geometric visibility gate the reference
+    lacks (its ZNCC gate misses occlusions on smooth texture): a point
+    whose predicted camera depth exceeds the frame's OBSERVED stereo depth
+    at its projection by more than the relative threshold is behind a
+    nearer surface — occluded — and must not record an observation."""
     t_cw = se3.se3_inverse(t_wc_new)
     x_cam = se3.transform_points(t_cw, points.x_world)          # (N, 3)
     uv, in_front = cam_mod.project(cam, x_cam)
@@ -63,6 +72,18 @@ def track_into_frame(
         & (score >= min_score)
         & (age <= max_frame_distance)
     )
+    if occlusion_threshold > 0 and depth_new is not None:
+        from ..image import interp as interp_mod
+
+        z_obs, z_valid = interp_mod.bilinear(depth_new, uv)
+        ok_obs, _ = interp_mod.bilinear(
+            depth_ok_new.astype(depth_new.dtype), uv)
+        # Only gate where the frame has confident depth (fully-valid 2x2
+        # support); the gate must never DROP visibility for lack of stereo.
+        has_depth = z_valid & (ok_obs > 0.999)
+        occluded = has_depth & (
+            x_cam[:, 2] > z_obs * (1.0 + occlusion_threshold))
+        tracked = tracked & ~occluded
     obs = points.obs.at[:, slot].set(tracked)
     last_seen = jnp.where(tracked, frame_id, points.last_seen)
     return TrackResult(

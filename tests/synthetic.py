@@ -141,8 +141,49 @@ BOX_GROUND = 1.65         # camera height above ground (KITTI-like)
 BOX_CEIL = -25.0          # "sky" plane (camera y is DOWN-positive)
 
 
+def default_obstacles(rng=None, n: int = 36):
+    """Textured AABB 'buildings/parked cars' scattered beside the block-loop
+    route (which runs along x,z in [-28, 41]): depth variety and strong
+    near-field parallax — without them the bare room is a worst case for
+    forward-motion BA (points near the FOE + narrow FOV leave the classic
+    yaw/lateral-translation valley weakly constrained)."""
+    rng = np.random.default_rng(7) if rng is None else rng
+    route = [(-28.0, z) for z in np.linspace(-24, 36, 8)]
+    route += [(x, 40.7) for x in np.linspace(-12, 38, 6)]
+    route += [(41.0, z) for z in np.linspace(36, -20, 7)]
+    boxes = []
+    for i in range(n):
+        cx, cz = route[i % len(route)]
+        side = 1.0 if (i // len(route)) % 2 == 0 else -1.0
+        off = rng.uniform(4.0, 12.0)
+        w = rng.uniform(1.0, 4.0)
+        d = rng.uniform(1.0, 4.0)
+        h = rng.uniform(1.5, 6.0)
+        # Offset perpendicular-ish: alternate x/z placement.
+        if i % 2 == 0:
+            lo = np.array([cx + side * off, BOX_GROUND - h, cz - d / 2])
+            hi = np.array([cx + side * off + w, BOX_GROUND, cz + d / 2])
+        else:
+            lo = np.array([cx - w / 2, BOX_GROUND - h, cz + side * off])
+            hi = np.array([cx + w / 2, BOX_GROUND, cz + side * off + d])
+        boxes.append((lo, hi))
+    return boxes
+
+
+def _ray_aabb(o, d_world, lo, hi):
+    """Slab test: entry t for rays o + t*d vs one AABB; +inf where missed.
+    d components of exactly 0 handled via +/-inf slabs."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (lo - o) / d_world
+        t2 = (hi - o) / d_world
+    tmin = np.nanmax(np.minimum(t1, t2), axis=-1)
+    tmax = np.nanmin(np.maximum(t1, t2), axis=-1)
+    hit = (tmax >= tmin) & (tmax > 0.1) & (tmin > 0.1)
+    return np.where(hit, tmin, np.inf)
+
+
 def render_box(tex, cam: Camera, t_wc: np.ndarray, shape,
-               max_depth: float = 250.0):
+               max_depth: float = 250.0, obstacles=None):
     """Render image + z-depth of a large textured box room (ground at
     y=+BOX_GROUND, walls at x,z = +/-BOX_HALF, ceiling at y=BOX_CEIL;
     camera convention: x right, y down, z forward). The box is a single
@@ -171,6 +212,9 @@ def render_box(tex, cam: Camera, t_wc: np.ndarray, shape,
             t = (value - o[axis]) / d_ax
         t = np.where(np.isfinite(t) & (t > 0.1), t, big)
         t_best = np.minimum(t_best, t)
+    if obstacles:
+        for lo_b, hi_b in obstacles:
+            t_best = np.minimum(t_best, _ray_aabb(o, d_world, lo_b, hi_b))
     x_world = o + t_best[..., None] * d_world
     img = sample_texture3d(tex, x_world)
     depth = (t_best * d_cam[..., 2]).astype(np.float32)
@@ -203,7 +247,8 @@ def kitti_like_trajectory(n_frames: int, step: float = 0.8,
 def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
                             shape=(370, 1226), fx=707.0, baseline=0.537,
                             step=0.8,
-                            min_wavelength=0.25, max_wavelength=4.0):
+                            min_wavelength=0.25, max_wavelength=4.0,
+                            obstacles="default"):
     """KITTI-scale golden dataset (BASELINE configs 1/2 stand-in until real
     KITTI exists on disk): textured box room, seq-00-style block-loop
     trajectory (straights + 90-degree turns), true KITTI calibration scale
@@ -224,13 +269,15 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
     tex = make_texture(rng, n_waves=96, min_wavelength=min_wavelength,
                        max_wavelength=max_wavelength)
     poses = kitti_like_trajectory(n_frames, step=step)
+    if obstacles == "default":
+        obstacles = default_obstacles()
 
     for i, p in enumerate(poses):
-        img_l, _ = render_box(tex, cam, p, shape)
+        img_l, _ = render_box(tex, cam, p, shape, obstacles=obstacles)
         pr = p.copy()
         pr[:3, 3] = p[:3, 3] + p[:3, :3] @ np.array([baseline, 0, 0],
                                                     np.float32)
-        img_r, _ = render_box(tex, cam, pr, shape)
+        img_r, _ = render_box(tex, cam, pr, shape, obstacles=obstacles)
         for sub, im in (("image_0", img_l), ("image_1", img_r)):
             arr = np.clip(im * 255, 0, 255).astype(np.uint8)
             Image.fromarray(arr).save(

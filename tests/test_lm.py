@@ -218,3 +218,28 @@ def test_gradient_tolerance_termination(rng):
         function_tolerance=0.0, parameter_tolerance=0.0)
     assert int(stats.termination) == 5, lm.TERMINATION_NAMES[int(stats.termination)]
     assert int(stats.iterations) <= 2
+
+
+def test_frozen_poses_bitwise_invariant_at_world_scale(rng):
+    """Regression (round 2): frozen gauge poses must come out of the solve
+    BITWISE unchanged, including at KITTI-scale world coordinates
+    (|t| ~ 30 m). On TPU the default bf16 matmul precision quantized
+    T @ exp(xi) so 'frozen' poses moved by ~0.05 m per solve (invisible at
+    toy coordinate scales); the package now forces full-precision matmuls
+    and evaluates pose/point products on the VPU."""
+    from test_residuals import setup_problem
+    from photobundle_tpu.geometry import se3 as se3_mod
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=24, w=4)
+    # Shift the whole world to large coordinates (gauge-equivariant).
+    shift = jnp.eye(4).at[:3, 3].set(jnp.asarray([120.0, -45.0, -28.0]))
+    t_big = jnp.einsum("ij,wjk->wik", shift, t_wc)
+    x_big = se3_mod.transform_points(shift, x)
+    frozen = jnp.asarray([True, True, False, False])
+    pv = jnp.ones((24,), bool)
+    t_out, x_out, stats = jax.jit(lambda t, xx: lm.lm_solve(
+        cam, t, xx, patch, ch, g, obs, pv, frozen, off,
+        huber_delta=1e9, max_iterations=8))(t_big, x_big + 0.01)
+    assert int(stats.accepted_steps) >= 1
+    np.testing.assert_array_equal(np.asarray(t_out[0]), np.asarray(t_big[0]))
+    np.testing.assert_array_equal(np.asarray(t_out[1]), np.asarray(t_big[1]))

@@ -28,6 +28,12 @@ from photobundle_tpu import cli as cli_mod
 CONFIGS = {
     # Reference-shape window: the configuration parity is judged at.
     "reference_W5": dict(slidingWindowSize=5),
+    # Motion prior at the reference shape: the decisive robustness lever on
+    # forward-motion geometry (see BASELINE.md accuracy diagnosis).
+    "W5_prior": dict(slidingWindowSize=5, motionPriorWeight=2.0),
+    # + occlusion/depth-edge gates (opt-in robustness, round 2).
+    "W5_robust_prior": dict(slidingWindowSize=5, motionPriorWeight=2.0,
+                            occlusionThreshold=0.2, depthEdgeThreshold=0.15),
     # Larger window + motion prior: the accuracy lever the TPU design
     # unlocks (BASELINE.md round-1 accuracy table).
     "W10_prior": dict(slidingWindowSize=10, motionPriorWeight=5.0),
