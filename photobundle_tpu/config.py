@@ -172,6 +172,11 @@ class PBAConfig:
                                           # that would otherwise cascade
                                           # through the sliding chain.
                                           # 0 disables (reference-exact).
+                                          # Interacts with coarseToFine: the
+                                          # engine scales the gate by 2^k (k
+                                          # = coarse levels actually run) so
+                                          # the extended basin's larger legit
+                                          # corrections are not reverted.
     solverVerbose: bool = False           # print the per-iteration table
                                           # (cost / lambda / |step| / accept)
                                           # after each window solve
@@ -192,7 +197,10 @@ class PBAConfig:
                                           # reference patches are
                                           # re-extracted from the downsampled
                                           # window at the point's current
-                                          # ref-frame projection.
+                                          # ref-frame projection. Interacts
+                                          # with maxPoseCorrection: the trust
+                                          # gate is scaled by 2^k under this
+                                          # schedule (see maxPoseCorrection).
     coarseIterations: int = 15            # LM iteration cap per coarse level
 
     # --- dataset / stereo (host side) ---
@@ -242,6 +250,13 @@ class PBAConfig:
                                           # kernel on TPU (gradientMode
                                           # 'sampled' only), XLA elsewhere
     checkpointDir: str = ""
+    depthCacheDir: str = ""               # cache computed stereo depth maps
+                                          # (npz per frame, keyed by the
+                                          # stereo parameters) so repeated
+                                          # runs over the same sequence skip
+                                          # the host-side matcher entirely —
+                                          # stereo at KITTI size costs
+                                          # ~0.8 s/frame/core. "" = off.
 
     # ---- derived (static) quantities ----
     @property

@@ -323,6 +323,19 @@ class PhotometricBundleAdjustment:
             # Accept the warm start only if it does not increase the
             # FINE-level cost; otherwise fall back to the initialization.
             from .residuals import evaluate_compressed as _ev
+            from .residuals import make_pallas_ctx as _mk_ctx
+
+            # One sampling ctx shared by BOTH cost probes: on the pallas
+            # backend the interleaved image panels are not free to build
+            # (round-2 advisor finding).
+            _backend = cfg.resolve_backend()
+            _gmode = cfg.resolve_gradient_mode()
+            _ctx = None
+            if _backend == "pallas":
+                _ctx = _mk_ctx(
+                    window.channels, window.grads, points.patch,
+                    cfg.patchRadius,
+                    mode="bicubic" if _gmode == "bicubic" else "sampled")
 
             def fine_cost(t, x):
                 dp = ((ref_slot, points.inv_depth_seed, self._prior_scale)
@@ -331,8 +344,8 @@ class PhotometricBundleAdjustment:
                           window.grads,
                           points.obs & point_valid[:, None],
                           self.offsets, cfg.robustThreshold,
-                          cfg.resolve_gradient_mode(), depth_prior=dp,
-                          backend=cfg.resolve_backend())
+                          _gmode, depth_prior=dp,
+                          backend=_backend, ctx=_ctx)
                 c = res.cost
                 if reduce_fn is not None:
                     c = reduce_fn(c)
@@ -355,10 +368,15 @@ class PhotometricBundleAdjustment:
         # poisons every later window through the frozen-pose chain and the
         # reanchor step. Reject the whole window when any pose moved
         # implausibly far; the VO initialization is kept.
+        # Under coarse-to-fine the gate scales with the schedule (x 2^k):
+        # the coarse levels exist precisely to legitimize larger
+        # corrections, and a fixed gate would silently revert them
+        # (round-2 advisor finding — see the cross-reference in config.py).
         if cfg.maxPoseCorrection > 0:
+            gate = cfg.maxPoseCorrection * float(2 ** self._n_coarse)
             corr = jnp.linalg.norm(
                 t_wc[:, :3, 3] - window.t_wc[:, :3, 3], axis=-1)
-            sane = jnp.max(corr) <= cfg.maxPoseCorrection
+            sane = jnp.max(corr) <= gate
             t_wc = jnp.where(sane, t_wc, window.t_wc)
             x_world = jnp.where(sane, x_world, points.x_world)
 

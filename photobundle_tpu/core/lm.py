@@ -52,8 +52,9 @@ class ShardCtx(NamedTuple):
 
         hpp, bp          psum over 'frames'   (point blocks: all frames)
         hcc, bc          psum over 'points' then all_gather over 'frames'
-        hpc              all_gather over 'frames' (axis 1) — the one
-                         gathered tensor, (N_local, W, 3, 6): small next to
+        hpc              all_gather over 'frames' (axis 0) — the one
+                         gathered tensor, point-minor (W_local, 3, 6,
+                         N_local) -> (W, 3, 6, N_local): small next to
                          the sharded images
         S, rhs           psum over 'points'
         cost / n_res     psum over both axes

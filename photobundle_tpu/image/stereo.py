@@ -37,8 +37,9 @@ def _lr_consistency(cost: jax.Array, best_l: jax.Array, min_disparity: int,
                     max_diff: float = 1.0) -> jax.Array:
     """Left-right consistency gate from ONE cost volume.
 
-    The right image's matching cost is the same volume re-indexed:
-    costR[d, y, xR] = costL[d, y, xR + d]. Repetitive texture aliases the
+    The right image's matching cost is the same volume re-indexed by the
+    ACTUAL disparity: costR[d, y, xR] = costL[d, y, xR + d + min_disparity]
+    (see the shift below). Repetitive texture aliases the
     left match but rarely aliases consistently in both directions, so
     requiring |dL(x) - dR(x - dL(x))| <= max_diff removes the gross
     outliers (measured: ~15% of 'valid' BM depths on periodic synthetic

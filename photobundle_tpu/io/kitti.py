@@ -105,8 +105,37 @@ class KittiStereoDataset:
         self._stereo_fn = None
         self._native = None
         mode = getattr(self.cfg, "dataLoader", "auto")
-        if mode in ("auto", "native") and self.cfg.stereoAlgorithm.upper() in (
-                "BM", "SGBM"):
+
+        # Depth cache (cfg.depthCacheDir): depth depends only on the stereo
+        # parameters + calibration + producer, so repeated runs (accuracy
+        # sweeps, golden tables — many solver configs over one sequence)
+        # reuse it. When EVERY frame is already cached, the stereo pipeline
+        # (native prefetch pool included) is not started at all.
+        self._cache_dir = None
+        self._cache_all_hit = False
+        if getattr(self.cfg, "depthCacheDir", ""):
+            cfg = self.cfg
+            native_producer = False
+            if mode in ("auto", "native") and cfg.stereoAlgorithm.upper() in (
+                    "BM", "SGBM"):
+                from .. import native as _nat
+
+                native_producer = _nat.available()
+            key = "_".join(str(v) for v in (
+                cfg.stereoAlgorithm.upper(), cfg.numDisparities,
+                cfg.minDisparity, cfg.sadWindowSize, cfg.speckleWindowSize,
+                cfg.speckleRange, cfg.minDepth, cfg.maxDepth,
+                f"{float(self.camera.fx):.6g}",
+                f"{float(self.camera.baseline):.6g}",
+                "native" if native_producer else "jax"))
+            self._cache_dir = os.path.join(
+                self.cfg.depthCacheDir, f"seq{self.sequence:02d}_{key}")
+            os.makedirs(self._cache_dir, exist_ok=True)
+            self._cache_all_hit = all(
+                os.path.exists(self._cache_path(i)) for i in self.indices)
+
+        if (not self._cache_all_hit and mode in ("auto", "native")
+                and self.cfg.stereoAlgorithm.upper() in ("BM", "SGBM")):
             from .. import native
 
             if native.available():
@@ -201,6 +230,9 @@ class KittiStereoDataset:
         ok = valid & (depth > self.cfg.minDepth) & (depth < self.cfg.maxDepth)
         return depth.astype(np.float32), ok
 
+    def _cache_path(self, idx: int) -> str:
+        return os.path.join(self._cache_dir, f"{idx:06d}.npz")
+
     def seek(self, i: int) -> None:
         """Resume support: tell the prefetch pipeline to start at frame i
         instead of producing (and caching) the whole prefix."""
@@ -209,15 +241,30 @@ class KittiStereoDataset:
 
     def get_frame(self, i: int) -> StereoFrame:
         idx = self.indices[i]
+        if self._cache_all_hit:
+            left = _imread_gray(self.left_files[idx])
+            z = np.load(self._cache_path(idx))
+            return StereoFrame(image=left, depth=z["depth"],
+                               depth_valid=z["ok"],
+                               timestamp=float(self.times[idx]), index=idx)
         if self._native is not None:
             # Native pipeline: decode + stereo + depth were computed by the
             # prefetch workers while the previous window was being solved.
             left, depth, ok = self._native.get(i)
-            return StereoFrame(image=left, depth=depth, depth_valid=ok,
-                               timestamp=float(self.times[idx]), index=idx)
-        left = _imread_gray(self.left_files[idx])
-        right = _imread_gray(self.right_files[idx])
-        depth, ok = self._compute_depth(left, right)
+        else:
+            left = _imread_gray(self.left_files[idx])
+            right = _imread_gray(self.right_files[idx])
+            depth, ok = self._compute_depth(left, right)
+        if self._cache_dir is not None:
+            # tmp + replace: a concurrent run over the same cache must
+            # never load a half-written file.
+            path = self._cache_path(idx)
+            if not os.path.exists(path):
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    np.savez_compressed(f, depth=depth.astype(np.float32),
+                                        ok=np.asarray(ok, bool))
+                os.replace(tmp, path)
         return StereoFrame(image=left, depth=depth, depth_valid=ok,
                            timestamp=float(self.times[idx]), index=idx)
 

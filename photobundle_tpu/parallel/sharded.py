@@ -141,9 +141,9 @@ def make_frames_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
         replicated — the whole point of this layout)
       - point tensors: N/n_points points
       - per LM iteration: psum(hpp, bp) over 'frames', psum+all_gather of
-        the tiny pose blocks, one all_gather of the (N_local, W, 3, 6)
-        coupling over 'frames', psum(S, rhs) over 'points'; poses and the
-        reduced 6W x 6W solve replicated everywhere.
+        the tiny pose blocks, one all_gather (axis 0) of the point-minor
+        (W_local, 3, 6, N_local) coupling over 'frames', psum(S, rhs) over
+        'points'; poses and the reduced 6W x 6W solve replicated everywhere.
 
     Signature: solver(t_wc (W,4,4), x (N,3), patch, channels (W,...),
     grads, obs (N,W), point_valid (N,), frozen (W,)[, ref_slot (N,),

@@ -138,3 +138,33 @@ def test_kitti_dataset_sgbm(tmp_path, rng):
     assert f.depth_valid.any()
     d = f.depth[f.depth_valid]
     assert np.isfinite(d).all() and (d > 0.5).all() and (d < 60.0).all()
+
+
+def test_depth_cache_roundtrip(tmp_path, rng):
+    """depthCacheDir: a second dataset over the same sequence + stereo
+    params loads identical depth without running the matcher; different
+    stereo params miss (separate key)."""
+    from synthetic import write_kitti_dataset
+    from photobundle_tpu.config import PBAConfig
+    from photobundle_tpu.io import kitti as K
+
+    write_kitti_dataset(str(tmp_path), 0, rng, n_frames=2, shape=(64, 96))
+    cache = str(tmp_path / "depth_cache")
+    cfg = PBAConfig(dataDir=str(tmp_path), sequence=0, numDisparities=32,
+                    sadWindowSize=5, minDepth=0.5, maxDepth=60.0,
+                    depthCacheDir=cache)
+    ds1 = K.create_dataset(cfg)
+    assert not ds1._cache_all_hit
+    frames1 = [ds1.get_frame(i) for i in range(2)]
+
+    ds2 = K.create_dataset(cfg)
+    assert ds2._cache_all_hit
+    assert ds2._native is None  # stereo pipeline never started
+    for i, f1 in enumerate(frames1):
+        f2 = ds2.get_frame(i)
+        np.testing.assert_array_equal(f1.depth, f2.depth)
+        np.testing.assert_array_equal(f1.depth_valid, f2.depth_valid)
+        np.testing.assert_array_equal(f1.image, f2.image)
+
+    ds3 = K.create_dataset(cfg.replace(numDisparities=16))
+    assert not ds3._cache_all_hit  # different stereo key

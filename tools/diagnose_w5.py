@@ -96,7 +96,9 @@ def main() -> int:
         cfg = PBAConfig(dataDir=args.root, sequence=0,
                         numFrames=args.frames,
                         stereoAlgorithm="BM", numDisparities=128,
-                        minDisparity=1, speckleWindowSize=120, **overrides)
+                        minDisparity=1, speckleWindowSize=120,
+                        depthCacheDir=os.path.join(args.root, "depth_cache"),
+                        **overrides)
         if name == "gt_depth":
             dataset = gt_depth_dataset(args.root, cfg, args.frames)
         else:

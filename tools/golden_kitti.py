@@ -87,6 +87,7 @@ def main() -> int:
         cfg = PBAConfig(dataDir=args.root, sequence=0,
                         stereoAlgorithm="BM", numDisparities=128,
                         minDisparity=1, speckleWindowSize=120,
+                        depthCacheDir=os.path.join(args.root, "depth_cache"),
                         **overrides)
         # Note: this machine has 1 CPU core, so host-side stereo BM
         # (~0.8 s/frame at 370x1226x128) dominates wall-clock; on a
