@@ -128,8 +128,25 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
         if on_window is not None:
             on_window()
 
+    # Keyframe selection (cfg.minKeyframeMotion; PARITY.md "Keyframe
+    # selection"): the reference ingests every frame — so do we by default.
+    # With the gate on, near-stationary frames are skipped (their stereo is
+    # never computed) and anchored to the last ingested keyframe; their
+    # refined pose is the keyframe's refined pose composed with the VO
+    # relative pose (applied in the post-pass below).
+    last_kf = None           # frame id of the last ingested keyframe
+    anchor_of = {}           # skipped frame id -> anchoring keyframe id
     try:
         for i in range(start, n):
+            if cfg.minKeyframeMotion > 0 and last_kf is not None:
+                dt_vo = np.linalg.norm(init_traj.poses[i][:3, 3]
+                                       - init_traj.poses[last_kf][:3, 3])
+                if dt_vo < cfg.minKeyframeMotion:
+                    anchor_of[i] = last_kf
+                    if hasattr(dataset, "seek"):
+                        dataset.seek(i + 1)  # drop the skipped frame's work
+                    continue
+            last_kf = i
             with timer.time("dataset.get_frame"):
                 frame = dataset.get_frame(i)
             with timer.time("engine.add_frame"):
@@ -143,6 +160,11 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
         if writer:
             writer.close()
 
+    if anchor_of:
+        index = {f: k for k, f in enumerate(refined.frame_ids)}
+        for i, a in anchor_of.items():
+            rel = np.linalg.inv(init_traj.poses[a]) @ init_traj.poses[i]
+            refined.poses[index[i]] = refined.poses[index[a]] @ rel
     traj_mod.write_poses_kitti(output, refined)
     if os.path.exists(ckpt):
         os.remove(ckpt)

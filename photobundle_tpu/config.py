@@ -155,6 +155,18 @@ class PBAConfig:
     initialLambda: float = 1e-4           # LM damping init
     minLambda: float = 1e-10
     maxLambda: float = 1e8
+    minObsPerFrame: int = 1               # freeze window poses with fewer
+                                          # valid observations than this
+                                          # during the solve. 1 = reference-
+                                          # equivalent (a Ceres pose block
+                                          # with zero residuals stays at its
+                                          # init); raising it (~8-16) is an
+                                          # observability gate — a handful
+                                          # of patches cannot constrain 6
+                                          # DOF and will steer the pose into
+                                          # the weakly-observable valley,
+                                          # injecting relative-pose noise
+                                          # into the sliding chain.
     numFixedPoses: int = 2                # gauge fixing: freeze oldest poses.
                                           # (reference freezes 1; freezing 2
                                           # pins rotation+translation AND the
@@ -241,6 +253,16 @@ class PBAConfig:
                                           # (~5e-4 relative): fine for noisy
                                           # stereo depth, wrong for
                                           # millimeter-accurate seeds
+    minKeyframeMotion: float = 0.0        # skip ingesting frames whose VO
+                                          # translation since the last
+                                          # ingested keyframe is below this
+                                          # (meters). Skipped frames keep
+                                          # their VO pose RELATIVE to the
+                                          # last refined keyframe in the
+                                          # output. 0 = reference-exact (the
+                                          # reference ingests every frame —
+                                          # see PARITY.md "Keyframe
+                                          # selection").
     dataLoader: str = "auto"              # 'auto' | 'native' | 'python' —
                                           # native = C++ libpng decode +
                                           # OpenMP stereo BM + prefetch

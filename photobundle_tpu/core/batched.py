@@ -156,6 +156,7 @@ class BatchedPhotometricBundleAdjustment:
                 lambda_log=np.asarray(stats.lambda_log[k])[:it],
                 step_log=np.asarray(stats.step_log[k])[:it],
                 accept_log=np.asarray(stats.accept_log[k])[:it],
+                obs_per_frame=np.asarray(stats.obs_per_frame[k]),
                 solve_time_s=dt,
                 points_xyz=xw[k][pv[k]],
                 points_frame=rf[k][pv[k]],

@@ -62,6 +62,12 @@ class WindowResult:
     # Result::refinedPoints) — (M, 3) world positions + their ref frame ids.
     points_xyz: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
     points_frame: np.ndarray = field(default_factory=lambda: np.zeros(0, int))
+    # Observability diagnostics (round-3 RPE instrumentation): how far the
+    # solve moved each window pose from its pre-solve value, and how many
+    # observations supported each slot.
+    trans_correction: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    rot_correction: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    obs_per_frame: np.ndarray = field(default_factory=lambda: np.zeros(0, int))
 
     def message(self) -> str:
         return (
@@ -118,6 +124,9 @@ class PhotometricBundleAdjustment:
         self.window = state.init_window(cfg, self.level_shape)
         self.points = state.init_point_table(cfg)
         self._frame_count = 0
+        self._ingest_seq = 0    # ingested-frame ordinal: the age clock for
+                                # re-tracking (robust to keyframe skipping,
+                                # where global frame ids jump)
         self._window_count = 0  # host mirror of window.count (avoids a
                                 # device readback per frame)
         self._sharded_solver = sharded_solver
@@ -180,7 +189,8 @@ class PhotometricBundleAdjustment:
         depth_ok_l = depth_ok[::s, ::s]
         return lvl, depth_l, depth_ok_l
 
-    def _ingest_impl(self, window, points, image, depth, t_wc, frame_id):
+    def _ingest_impl(self, window, points, image, depth, t_wc, frame_id,
+                     age_id):
         cfg = self.cfg
         if image.dtype == jnp.uint8:
             image = image.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
@@ -199,6 +209,7 @@ class PhotometricBundleAdjustment:
             self.offsets,
             min_score=cfg.minScore,
             max_frame_distance=cfg.maxFrameDistance,
+            age_id=age_id,
             border_margin=cfg.patchRadius + 1,
             depth_new=depth_l,
             depth_ok_new=ok_l,
@@ -216,6 +227,7 @@ class PhotometricBundleAdjustment:
             border=cfg.patchRadius + 2,
             edge_radius=cfg.patchRadius,
             edge_threshold=cfg.depthEdgeThreshold,
+            age_id=age_id,
         )
         diag = {
             "tracked": jnp.sum(tr.tracked.astype(jnp.int32)),
@@ -270,6 +282,7 @@ class PhotometricBundleAdjustment:
                 function_tolerance=cfg.functionTolerance,
                 parameter_tolerance=cfg.parameterTolerance,
                 gradient_tolerance=cfg.gradientTolerance,
+                min_obs_per_frame=cfg.minObsPerFrame,
                 reduce_fn=reduce_fn,
             )
 
@@ -448,6 +461,8 @@ class PhotometricBundleAdjustment:
         if frame_id is None:
             frame_id = self._frame_count
         self._frame_count = frame_id + 1
+        age_id = self._ingest_seq
+        self._ingest_seq += 1
         self._window_count = min(self._window_count + 1,
                                  self.cfg.slidingWindowSize)
 
@@ -456,12 +471,17 @@ class PhotometricBundleAdjustment:
             self._put(image), self._put(depth),
             self._put(np.asarray(t_wc, np.float32)),
             self._put(np.asarray(frame_id, np.int32)),
+            self._put(np.asarray(age_id, np.int32)),
         )
 
         if self._window_count < self.cfg.slidingWindowSize:
             return None
 
         t0 = time.perf_counter()
+        # Pre-solve poses (fresh array — survives the donation of the
+        # window buffers into _optimize): the per-pose correction the solve
+        # applied is the key observability diagnostic.
+        t_pre = self.window.t_wc + 0
         if self._sharded_solver is not None:
             self.window, self.points, stats, point_valid = self._sharded_solver(
                 self.window, self.points)
@@ -469,7 +489,8 @@ class PhotometricBundleAdjustment:
             self.window, self.points, stats, point_valid = self._optimize(
                 self.window, self.points)
         handles = (stats, self.window.frame_ids, self.window.t_wc,
-                   point_valid, self.points.x_world, self.points.ref_frame)
+                   point_valid, self.points.x_world, self.points.ref_frame,
+                   t_pre)
         if self._multiproc:
             # Points-sharded leaves are not addressable from one process;
             # reshard the (small) fetched handles to replicated first.
@@ -485,25 +506,32 @@ class PhotometricBundleAdjustment:
                 self._fetch_pool = concurrent.futures.ThreadPoolExecutor(1)
             # The window/points buffers will be DONATED into the next
             # frame's ingest before the background fetch completes — snap
-            # device copies of those four (tiny) so the fetch can't see
+            # device copies of those (tiny) so the fetch can't see
             # deleted arrays.
-            stats, frame_ids, t_wc_a, point_valid, xw_a, rf_a = handles
+            stats, frame_ids, t_wc_a, point_valid, xw_a, rf_a, t_pre = handles
             handles = (stats, frame_ids + 0, t_wc_a + 0, point_valid,
-                       xw_a + 0, rf_a + 0)
+                       xw_a + 0, rf_a + 0, t_pre)
             prev = self._pending_result
             self._pending_result = (
                 self._fetch_pool.submit(jax.device_get, handles), t0)
             if prev is None:
                 return None
             fut, t0 = prev
-            stats, frame_ids, poses, pv, xw, rf = fut.result()
+            fetched = fut.result()
         else:
             # ONE batched device fetch per window (each separate fetch costs
             # a full round-trip on tunneled backends).
-            stats, frame_ids, poses, pv, xw, rf = jax.device_get(handles)
-        dt = time.perf_counter() - t0
+            fetched = jax.device_get(handles)
+        return self._make_result(fetched, time.perf_counter() - t0)
 
+    def _make_result(self, fetched, dt: float) -> WindowResult:
+        stats, frame_ids, poses, pv, xw, rf, t_pre = fetched
         it = int(stats.iterations)
+        dtc = poses[:, :3, 3] - t_pre[:, :3, 3]
+        # Rotation correction angle from the relative rotation's trace.
+        rrel = np.einsum("wij,wik->wjk", t_pre[:, :3, :3], poses[:, :3, :3])
+        ctheta = np.clip((np.trace(rrel, axis1=1, axis2=2) - 1.0) / 2.0,
+                         -1.0, 1.0)
         return WindowResult(
             frame_ids=frame_ids,
             poses=poses,
@@ -521,6 +549,9 @@ class PhotometricBundleAdjustment:
             solve_time_s=dt,
             points_xyz=xw[pv],
             points_frame=rf[pv],
+            trans_correction=np.linalg.norm(dtc, axis=-1),
+            rot_correction=np.arccos(ctheta),
+            obs_per_frame=np.asarray(stats.obs_per_frame),
         )
 
     def flush_result(self) -> Optional[WindowResult]:
@@ -532,27 +563,7 @@ class PhotometricBundleAdjustment:
 
         fut, t0 = self._pending_result
         self._pending_result = None
-        stats, frame_ids, poses, pv, xw, rf = fut.result()
-        dt = time.perf_counter() - t0
-        it = int(stats.iterations)
-        return WindowResult(
-            frame_ids=frame_ids,
-            poses=poses,
-            initial_cost=float(stats.initial_cost),
-            final_cost=float(stats.final_cost),
-            iterations=it,
-            accepted_steps=int(stats.accepted_steps),
-            termination=lm.TERMINATION_NAMES.get(int(stats.termination), "?"),
-            num_points=int(pv.sum()),
-            num_residuals=int(stats.n_residuals),
-            cost_log=np.asarray(stats.cost_log)[:it],
-            lambda_log=np.asarray(stats.lambda_log)[:it],
-            step_log=np.asarray(stats.step_log)[:it],
-            accept_log=np.asarray(stats.accept_log)[:it],
-            solve_time_s=dt,
-            points_xyz=xw[pv],
-            points_frame=rf[pv],
-        )
+        return self._make_result(fut.result(), time.perf_counter() - t0)
 
     @property
     def num_active_points(self) -> int:
@@ -572,6 +583,7 @@ class PhotometricBundleAdjustment:
         for name, arr in self.window._asdict().items():
             state[f"window.{name}"] = np.asarray(arr)
         state["frame_count"] = np.asarray(self._frame_count)
+        state["ingest_seq"] = np.asarray(self._ingest_seq)
         tmp = path + ".tmp.npz"
         with open(tmp, "wb") as f:
             np.savez_compressed(f, **state)
@@ -587,4 +599,7 @@ class PhotometricBundleAdjustment:
             name: jnp.asarray(data[f"window.{name}"])
             for name in self.window._fields})
         self._frame_count = int(data["frame_count"])
+        self._ingest_seq = (int(data["ingest_seq"])
+                            if "ingest_seq" in data.files
+                            else self._frame_count)
         self._window_count = int(data["window.count"])

@@ -42,6 +42,10 @@ class LMStats(NamedTuple):
     step_log: jax.Array         # (max_iter,) step norms
     accept_log: jax.Array       # (max_iter,) bool
     n_residuals: jax.Array      # () valid observation count
+    obs_per_frame: jax.Array    # (W,) valid observations per window slot at
+                                #     the initial point (observability
+                                #     diagnostics: weakly-supported frames
+                                #     are where solve noise enters)
 
 
 class ShardCtx(NamedTuple):
@@ -123,6 +127,7 @@ def lm_solve(
     function_tolerance: float = 1e-6,
     parameter_tolerance: float = 1e-8,
     gradient_tolerance: float = 0.0,
+    min_obs_per_frame: int = 1,
     reduce_fn: Callable | None = None,
     shard_ctx: ShardCtx | None = None,
 ):
@@ -217,6 +222,8 @@ def lm_solve(
     res0 = eval_stats(t_wc, x_world)
     init_cost = sc.reduce_obs(res0.cost) + prior_cost_terms(t_wc)
     n_res = sc.reduce_obs(res0.n_residuals)
+    obs_per_frame0 = sc.gather_frames(
+        sc.reduce_points(jnp.sum(res0.valid.astype(jnp.int32), axis=0)), 0)
 
     def body(st: _LoopState) -> _LoopState:
         # One residual/stat evaluation per iteration: the loop state carries
@@ -243,10 +250,15 @@ def lm_solve(
             # Added AFTER the psum — the prior is replicated pose math.
             hd, coupling, bc_p = prior_system(st.t_wc)
             eq = eq._replace(hcc=eq.hcc + hd, bc=eq.bc + bc_p)
-        # Freeze poses with no support (empty slots) in addition to gauge.
+        # Freeze poses with too little support in addition to gauge: a
+        # frame with < min_obs_per_frame observations has Ceres-equivalent
+        # behavior at 1 (a pose with no residuals stays at its init); above
+        # 1 it is an observability gate — a handful of patches cannot
+        # constrain 6 DOF, and letting them try injects relative-pose noise
+        # into the sliding chain (round-3 RPE diagnosis).
         obs_per_frame = sc.gather_frames(
             sc.reduce_points(jnp.sum(res.valid.astype(jnp.int32), axis=0)), 0)
-        frz = frozen | (obs_per_frame == 0)
+        frz = frozen | (obs_per_frame < max(1, min_obs_per_frame))
 
         sys_parts = schur.reduce_camera_system(eq, st.lam, point_valid, frz,
                                                reduce_fn=sc.reduce_points,
@@ -342,6 +354,7 @@ def lm_solve(
         step_log=st.step_log,
         accept_log=st.accept_log,
         n_residuals=n_res,
+        obs_per_frame=obs_per_frame0,
     )
     return st.t_wc, st.x_world, stats
 

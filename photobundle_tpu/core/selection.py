@@ -79,6 +79,8 @@ def select_new_points(
     border: int,
     edge_radius: int = 0,
     edge_threshold: float = 0.0,
+    age_id: jax.Array | None = None,  # ingest-ordinal clock for last_seen
+                                      # (see tracking.track_into_frame)
 ) -> SelectionResult:
     h, w = saliency_map.shape
     n = points.capacity
@@ -148,7 +150,8 @@ def select_new_points(
         x_world=points.x_world.at[dest].set(x_world, mode="drop"),
         patch=points.patch.at[dest].set(patch, mode="drop"),
         ref_frame=points.ref_frame.at[dest].set(frame_id, mode="drop"),
-        last_seen=points.last_seen.at[dest].set(frame_id, mode="drop"),
+        last_seen=points.last_seen.at[dest].set(
+            frame_id if age_id is None else age_id, mode="drop"),
         active=points.active.at[dest].set(True, mode="drop"),
         obs=points.obs.at[dest].set(
             jax.nn.one_hot(slot, points.obs.shape[1], dtype=jnp.float32)[None, :]

@@ -39,6 +39,11 @@ def track_into_frame(
     *,
     min_score: float,
     max_frame_distance: int,
+    age_id: jax.Array | None = None,  # () ingest-ordinal clock for the age
+                              # gate; defaults to frame_id. With keyframe
+                              # skipping (cfg.minKeyframeMotion) global ids
+                              # jump, so ages must count INGESTED frames —
+                              # the reference's maxFrameDistance semantics.
     border_margin: float = 1.0,
     depth_new: jax.Array | None = None,     # (H, W) new frame depth
     depth_ok_new: jax.Array | None = None,  # (H, W)
@@ -58,7 +63,8 @@ def track_into_frame(
     sampled, in_bounds = patches_mod.extract_patches(channels_new, uv, offsets)
     score = patches_mod.zncc(points.patch, sampled)
 
-    age = frame_id - points.last_seen
+    age_clock = frame_id if age_id is None else age_id
+    age = age_clock - points.last_seen
     h, w = channels_new.shape[-2:]
     in_img = (
         (uv[:, 0] >= border_margin) & (uv[:, 0] <= w - 1 - border_margin)
@@ -85,7 +91,7 @@ def track_into_frame(
             x_cam[:, 2] > z_obs * (1.0 + occlusion_threshold))
         tracked = tracked & ~occluded
     obs = points.obs.at[:, slot].set(tracked)
-    last_seen = jnp.where(tracked, frame_id, points.last_seen)
+    last_seen = jnp.where(tracked, age_clock, points.last_seen)
     return TrackResult(
         points=points._replace(obs=obs, last_seen=last_seen),
         uv=uv,

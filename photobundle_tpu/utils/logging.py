@@ -92,6 +92,9 @@ def window_record(result, extra: Optional[Dict[str, Any]] = None) -> Dict[str, A
         "solve_time_s": result.solve_time_s,
         "cost_log": result.cost_log.tolist(),
         "lambda_log": result.lambda_log.tolist(),
+        "trans_correction": result.trans_correction.tolist(),
+        "rot_correction": result.rot_correction.tolist(),
+        "obs_per_frame": result.obs_per_frame.tolist(),
     }
     if extra:
         rec.update(extra)

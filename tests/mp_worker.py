@@ -70,7 +70,7 @@ def run_solve():
             reduce_fn=lambda v: jax.lax.psum(v, "points")),
         mesh=mesh,
         in_specs=(rep, pt, pt, rep, rep, pt, pt, rep),
-        out_specs=(rep, pt, lm.LMStats(*([rep] * 10))),
+        out_specs=(rep, pt, lm.LMStats(*([rep] * len(lm.LMStats._fields)))),
         check_vma=False,
     ))
     t_out, x_out, stats = solve(*args_global)

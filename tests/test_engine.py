@@ -379,3 +379,50 @@ def test_batched_engine_matches_individual(scene):
             assert ra.num_points == rb.num_points
             np.testing.assert_allclose(ra.final_cost, rb.final_cost,
                                        rtol=1e-3)
+
+
+def test_min_keyframe_motion(scene, tmp_path):
+    """cfg.minKeyframeMotion: stationary frames are skipped (never
+    ingested), keep their VO pose relative to the last refined keyframe,
+    and re-tracking ages count INGESTED frames (the skip must not sever
+    tracks through maxFrameDistance)."""
+    from photobundle_tpu import cli as cli_mod
+    from photobundle_tpu.io.kitti import PrecomputedDepthDataset
+
+    cam, images, depths, poses_gt = scene
+    # Insert a stationary segment: frames 4..6 replicate frame 3.
+    imgs = list(images[:4]) + [images[3]] * 3 + list(images[4:])
+    dpts = list(depths[:4]) + [depths[3]] * 3 + list(depths[4:])
+    gt = np.concatenate([poses_gt[:4], np.repeat(poses_gt[3:4], 3, axis=0),
+                         poses_gt[4:]], axis=0)
+    rng = np.random.default_rng(5)
+    init = perturb_poses(rng, gt, trans_sigma=0.03, rot_sigma=0.003,
+                         keep_first=2)
+    # Keep the stationary segment exactly stationary in the VO input too.
+    init[4:7] = init[3]
+    init_traj = traj_mod.Trajectory(init.astype(np.float64))
+    ds = PrecomputedDepthDataset(images=imgs, depths=dpts, camera=cam)
+
+    cfg = small_cfg(minKeyframeMotion=0.02)
+    out = str(tmp_path / "refined.txt")
+    refined = cli_mod.run(cfg, ds, init_traj, output=out, progress=False)
+
+    assert len(refined) == len(imgs)
+    # Skipped stationary frames ride with their anchor keyframe (identical
+    # init rel pose => identical refined pose).
+    for i in (4, 5, 6):
+        np.testing.assert_allclose(refined.poses[i], refined.poses[3],
+                                   atol=1e-12)
+    # The gate must not hurt accuracy vs ground truth.
+    gt_traj = traj_mod.Trajectory(gt.astype(np.float64))
+    ate_init = traj_mod.ate_rmse(init_traj, gt_traj, align=False)
+    ate_ref = traj_mod.ate_rmse(refined, gt_traj, align=False)
+    assert ate_ref < ate_init, (ate_init, ate_ref)
+
+    # Gate off = reference semantics: every frame ingested (solves start at
+    # window W => first result frame id == W-1 == 4 with no skips).
+    cfg_off = small_cfg()
+    out2 = str(tmp_path / "refined_off.txt")
+    refined_off = cli_mod.run(cfg_off, ds, init_traj, output=out2,
+                              progress=False)
+    assert len(refined_off) == len(imgs)

@@ -1,12 +1,23 @@
 """KITTI-scale synthetic golden (BASELINE configs 1/2 stand-in; round-1
 VERDICT item 5): 200-frame 370x1226 stereo sequence through a textured box
 room on a seq-00-style block loop (straights + 90-degree turns), BM-seeded
-depth, full CLI per config, init/refined/GT ATE table for BASELINE.md.
+depth, full CLI per config, init/refined/GT ATE + RPE table for BASELINE.md.
 
-    python tools/golden_kitti.py              # full chip run (TPU)
-    python tools/golden_kitti.py --frames 80  # smaller/faster
+    python tools/golden_kitti.py                    # walk error model (TPU)
+    python tools/golden_kitti.py --error-model iid  # per-frame jitter model
+    python tools/golden_kitti.py --frames 80        # smaller/faster
 
-The dataset is rendered once and cached under --root.
+Error models (round-3 VERDICT item 1):
+  'walk' — random-walk VO drift. ATE is dominated by the accumulated
+      component, which is gauge-UNOBSERVABLE to a windowed method (the
+      window's first poses are frozen at drifted values); only the
+      per-pair relative error is correctable.
+  'iid'  — independent per-frame jitter around ground truth: fully
+      within-window-observable — exactly the error photometric alignment
+      corrects, and the regime where a W=5 refinement must win.
+
+The dataset is rendered once and cached under --root; stereo depth is
+cached across configs (cfg.depthCacheDir).
 """
 import argparse
 import os
@@ -25,15 +36,22 @@ from photobundle_tpu.io import trajectory as traj_mod
 from photobundle_tpu import cli as cli_mod
 
 
+REFERENCE_EXACT = dict(
+    slidingWindowSize=5, numFixedPoses=1, depthPriorWeight=0.0,
+    motionPriorWeight=0.0, maxPoseCorrection=0.0, interpolation="bicubic")
+
 CONFIGS = {
-    # Reference-shape window: the configuration parity is judged at.
+    # The Ceres-parity stack (configs/reference_exact.cfg): every
+    # deviating default pinned off, bicubic sampling.
+    "reference_exact": dict(REFERENCE_EXACT),
+    # Reference-shape window with the shipped (production) defaults.
     "reference_W5": dict(slidingWindowSize=5),
     # Motion prior at the reference shape: the decisive robustness lever on
     # forward-motion geometry (see BASELINE.md accuracy diagnosis).
     "W5_prior": dict(slidingWindowSize=5, motionPriorWeight=2.0),
-    # + occlusion/depth-edge gates (opt-in robustness, round 2).
-    "W5_robust_prior": dict(slidingWindowSize=5, motionPriorWeight=2.0,
-                            occlusionThreshold=0.2, depthEdgeThreshold=0.15),
+    # + observability gate on weakly-supported frames (round 3).
+    "W5_prior_obsgate": dict(slidingWindowSize=5, motionPriorWeight=2.0,
+                             minObsPerFrame=16),
     # Larger window + motion prior: the accuracy lever the TPU design
     # unlocks (BASELINE.md round-1 accuracy table).
     "W10_prior": dict(slidingWindowSize=10, motionPriorWeight=5.0),
@@ -47,15 +65,23 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/golden_kitti_box")
     ap.add_argument("--frames", type=int, default=200)
-    ap.add_argument("--out-dir", default="/tmp/golden_kitti_out")
-    ap.add_argument("--drift-trans", type=float, default=0.03,
-                    help="per-frame random-walk translation drift (m)")
-    ap.add_argument("--drift-rot", type=float, default=0.002)
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--error-model", choices=("walk", "iid"), default="walk")
+    ap.add_argument("--drift-trans", type=float, default=None,
+                    help="per-frame translation error sigma (m); default "
+                         "0.03 (walk) / 0.02 (iid)")
+    ap.add_argument("--drift-rot", type=float, default=None)
     ap.add_argument("--configs", default=",".join(CONFIGS),
                     help="comma-separated subset of configs to run")
     args = ap.parse_args()
+    if args.drift_trans is None:
+        args.drift_trans = 0.03 if args.error_model == "walk" else 0.02
+    if args.drift_rot is None:
+        args.drift_rot = 0.002 if args.error_model == "walk" else 0.001
+    if args.out_dir is None:
+        args.out_dir = f"/tmp/golden_kitti_out_{args.error_model}"
 
-    from synthetic import drift_poses, write_box_kitti_dataset
+    from synthetic import drift_poses, perturb_poses, write_box_kitti_dataset
 
     marker = os.path.join(args.root, f".rendered_{args.frames}")
     if not os.path.exists(marker):
@@ -69,29 +95,35 @@ def main() -> int:
 
     gt = traj_mod.load_poses_kitti(
         os.path.join(args.root, "poses", "00.txt"))
+    gt = traj_mod.Trajectory(gt.poses[:args.frames])
     rng = np.random.default_rng(99)
-    init = drift_poses(rng, gt.poses.astype(np.float32),
-                       trans_sigma=args.drift_trans,
-                       rot_sigma=args.drift_rot, keep_first=2)
+    make_err = drift_poses if args.error_model == "walk" else perturb_poses
+    init = make_err(rng, gt.poses.astype(np.float32),
+                    trans_sigma=args.drift_trans,
+                    rot_sigma=args.drift_rot, keep_first=2)
     os.makedirs(args.out_dir, exist_ok=True)
     init_path = os.path.join(args.out_dir, "vo_init.txt")
     traj_mod.write_poses_kitti(init_path, traj_mod.Trajectory(
         init.astype(np.float64)))
     init_traj = traj_mod.load_poses_kitti(init_path)
     ate_init = traj_mod.ate_rmse(init_traj, gt, align=False)
-    print(f"init ATE (drifting VO, {args.frames} frames): {ate_init:.4f} m")
+    rpe_init, rper_init = traj_mod.rpe(init_traj, gt, delta=1)
+    print(f"[{args.error_model}] init ATE {ate_init:.4f} m, "
+          f"RPE(1) {rpe_init:.4f} m / {np.degrees(rper_init):.3f} deg "
+          f"({args.frames} frames)")
 
     rows = []
     for name in args.configs.split(","):
         overrides = CONFIGS[name]
         cfg = PBAConfig(dataDir=args.root, sequence=0,
+                        numFrames=args.frames,
                         stereoAlgorithm="BM", numDisparities=128,
                         minDisparity=1, speckleWindowSize=120,
                         depthCacheDir=os.path.join(args.root, "depth_cache"),
                         **overrides)
         # Note: this machine has 1 CPU core, so host-side stereo BM
-        # (~0.8 s/frame at 370x1226x128) dominates wall-clock; on a
-        # multi-core deployment host the prefetching loader hides it.
+        # (~0.8 s/frame at 370x1226x128) dominates the FIRST config's
+        # wall-clock; later configs hit the depth cache.
         dataset = kitti_mod.create_dataset(cfg)
         out = os.path.join(args.out_dir, f"refined_{name}.txt")
         t0 = time.time()
@@ -99,18 +131,20 @@ def main() -> int:
                               jsonl_path=out + ".jsonl", progress=False)
         dt = time.time() - t0
         ate_ref = traj_mod.ate_rmse(refined, gt, align=False)
+        rpe_ref, rper_ref = traj_mod.rpe(refined, gt, delta=1)
         red = 100.0 * (1.0 - ate_ref / ate_init)
-        rows.append((name, ate_ref, red, dt))
-        print(f"{name:16s}: refined ATE {ate_ref:.4f} m "
-              f"({red:+.1f}% vs init), {dt:.0f}s "
-              f"({args.frames / dt:.1f} keyframes/s)", flush=True)
+        rows.append((name, ate_ref, red, rpe_ref, rper_ref, dt))
+        print(f"{name:18s}: ATE {ate_ref:.4f} m ({red:+.1f}%), "
+              f"RPE(1) {rpe_ref:.4f} m / {np.degrees(rper_ref):.3f} deg, "
+              f"{dt:.0f}s ({args.frames / dt:.1f} keyframes/s)", flush=True)
 
-    print("\nBASELINE.md table:")
-    print("| Config | init ATE | refined ATE | reduction | keyframes/s |")
+    print(f"\nBASELINE.md table ({args.error_model} error model, "
+          f"init ATE {ate_init:.4f}, init RPE(1) {rpe_init:.4f} m):")
+    print("| Config | refined ATE | reduction | RPE(1) trans | RPE(1) rot |")
     print("|---|---|---|---|---|")
-    for name, ate_ref, red, dt in rows:
-        print(f"| {name} | {ate_init:.4f} | {ate_ref:.4f} | {red:+.1f}% | "
-              f"{args.frames / dt:.1f} |")
+    for name, ate_ref, red, rpe_ref, rper_ref, dt in rows:
+        print(f"| {name} | {ate_ref:.4f} | {red:+.1f}% | {rpe_ref:.4f} | "
+              f"{np.degrees(rper_ref):.3f} deg |")
     return 0
 
 
