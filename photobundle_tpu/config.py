@@ -242,6 +242,16 @@ class PBAConfig:
                                           # XLA path, exact surface grads)
     meshPoints: int = 1                   # chips along the point axis
     meshWindows: int = 1                  # data-parallel window/sequence axis
+    meshFrames: int = 1                   # chips along the window-FRAME axis
+                                          # (('frames','points') 2-D mesh):
+                                          # the window ring's image leaves
+                                          # rest sharded over 'frames' so
+                                          # per-chip window memory is
+                                          # W / meshFrames frames — the
+                                          # large-window layout of SURVEY.md
+                                          # 5.7 / BASELINE config 4. Requires
+                                          # slidingWindowSize % meshFrames
+                                          # == 0; composes with meshPoints.
     pipelineResults: bool = False         # fetch window results on a
                                           # background thread (results lag
                                           # one frame; hides the fetch
@@ -331,6 +341,17 @@ class PBAConfig:
             raise ValueError(f"unknown dataLoader '{self.dataLoader}'")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
+        if self.meshFrames > 1:
+            if self.slidingWindowSize % self.meshFrames != 0:
+                raise ValueError(
+                    f"slidingWindowSize {self.slidingWindowSize} not "
+                    f"divisible by meshFrames {self.meshFrames}")
+            if self.coarseToFine:
+                # Coarse levels re-extract reference patches from the
+                # ref-frame image, which may live on another frame shard —
+                # a cross-shard image gather this layout does not implement.
+                raise ValueError(
+                    "coarseToFine is not supported with meshFrames > 1")
         return self
 
     @staticmethod

@@ -68,11 +68,12 @@ class BatchedPhotometricBundleAdjustment:
         self.window = stack(state.init_window(cfg, self._proto.level_shape))
         self.points = stack(state.init_point_table(cfg))
         self._frame_count = 0
+        self._ingest_seq = 0
         self._window_count = 0
 
         proto = self._proto
         self._ingest = jax.jit(
-            jax.vmap(proto._ingest_impl, in_axes=(0, 0, 0, 0, 0, None)),
+            jax.vmap(proto._ingest_impl, in_axes=(0, 0, 0, 0, 0, None, None)),
             donate_argnums=(0, 1))
         if sharded:
             # cfg.meshWindows x cfg.meshPoints, end-to-end from the config
@@ -123,10 +124,14 @@ class BatchedPhotometricBundleAdjustment:
         self._window_count = min(self._window_count + 1,
                                  self.cfg.slidingWindowSize)
 
+        # Lockstep ingest: the age clock equals the shared ingest ordinal.
+        age_id = self._ingest_seq
+        self._ingest_seq += 1
         self.window, self.points, _ = self._ingest(
             self.window, self.points, jnp.asarray(images),
             jnp.asarray(depths), jnp.asarray(t_wcs),
-            jnp.asarray(frame_id, jnp.int32))
+            jnp.asarray(frame_id, jnp.int32),
+            jnp.asarray(age_id, jnp.int32))
 
         if self._window_count < self.cfg.slidingWindowSize:
             return None

@@ -133,11 +133,32 @@ class PhotometricBundleAdjustment:
         self._pending_result = None   # (future, t0) under pipelineResults
         self._fetch_pool = None
         self._mesh = None
-        if cfg.meshPoints > 1:
+        self._win_shardings = None   # frames-axis resting placement
+        self._pt_shardings = None
+        if cfg.meshPoints > 1 or cfg.meshFrames > 1:
             if cfg.maxNumPoints % cfg.meshPoints != 0:
                 raise ValueError(
                     f"maxNumPoints {cfg.maxNumPoints} not divisible by "
                     f"meshPoints {cfg.meshPoints}")
+        if cfg.meshFrames > 1:
+            # ('frames', 'points') 2-D mesh (SURVEY.md 5.7 / BASELINE
+            # config 4): the window ring's image leaves REST sharded over
+            # 'frames' — per-chip window memory is W / meshFrames frames —
+            # and the solve runs under the full ShardCtx.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.sharded import (make_frames_mesh,
+                                            window_frame_specs)
+
+            self._mesh = make_frames_mesh(frames=cfg.meshFrames,
+                                          points=cfg.meshPoints)
+            ns = lambda spec: NamedSharding(self._mesh, spec)
+            self._win_shardings = jax.tree.map(
+                ns, window_frame_specs(P("frames"), P()))
+            self._pt_shardings = jax.tree.map(
+                lambda _: ns(P("points")), self.points)
+            self.window = jax.device_put(self.window, self._win_shardings)
+            self.points = jax.device_put(self.points, self._pt_shardings)
+        elif cfg.meshPoints > 1:
             from ..parallel import make_mesh
 
             self._mesh = make_mesh(points=cfg.meshPoints)
@@ -149,6 +170,11 @@ class PhotometricBundleAdjustment:
         # so replicated inputs are bitwise-identical across ranks.
         self._multiproc = (self._mesh is not None
                            and jax.process_count() > 1)
+        if self._multiproc and cfg.meshFrames > 1:
+            raise NotImplementedError(
+                "meshFrames > 1 over multiple OS processes requires "
+                "host-side frame routing (each process feeding its own "
+                "frame shard) — use the single-process multi-chip path")
         if self._multiproc:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -160,8 +186,21 @@ class PhotometricBundleAdjustment:
             self.points = globalize(self.points)
             self._replicate = jax.jit(lambda t: t, out_shardings=rep)
 
-        self._ingest = jax.jit(self._ingest_impl, donate_argnums=(0, 1))
-        if self._mesh is not None:
+        # Under frames sharding the ingest must keep the window's resting
+        # placement (roll/update-slice would otherwise de-shard it): pin
+        # the output shardings of the two state outputs.
+        ingest_out = None
+        if self._win_shardings is not None:
+            ingest_out = (self._win_shardings, self._pt_shardings, None)
+        self._ingest = jax.jit(self._ingest_impl, donate_argnums=(0, 1),
+                               out_shardings=ingest_out)
+        if cfg.meshFrames > 1:
+            from ..parallel.sharded import wrap_engine_optimize_frames
+
+            self._optimize = jax.jit(
+                wrap_engine_optimize_frames(self._optimize_impl, self._mesh),
+                donate_argnums=(0, 1))
+        elif self._mesh is not None:
             from ..parallel.sharded import wrap_engine_optimize
 
             self._optimize = jax.jit(
@@ -236,13 +275,26 @@ class PhotometricBundleAdjustment:
         }
         return window, sel.points, diag
 
-    def _optimize_impl(self, window, points, reduce_fn=None):
-        """One full window solve. `reduce_fn` is the cross-shard psum hook:
-        None on a single device; jax.lax.psum over the 'points' axis when
-        wrapped by parallel/sharded.wrap_engine_optimize (all shard_map
-        specs live THERE, not here)."""
+    def _optimize_impl(self, window, points, reduce_fn=None, shard_ctx=None):
+        """One full window solve. Cross-shard hooks (all shard_map specs
+        live in parallel/sharded, not here):
+          reduce_fn  — plain psum over 'points' (wrap_engine_optimize);
+          shard_ctx  — full ('frames','points') ShardCtx
+                       (wrap_engine_optimize_frames): window image leaves
+                       arrive as the LOCAL frame shard (W_local = W /
+                       meshFrames), poses/ids replicated."""
         cfg = self.cfg
         w = cfg.slidingWindowSize
+        w_local = window.channels.shape[0]
+        frames_sharded = shard_ctx is not None and w_local != w
+
+        def slice_obs(obs):
+            """Point-table obs columns for the LOCAL frame shard."""
+            if not frames_sharded:
+                return obs
+            return jax.lax.dynamic_slice_in_dim(
+                obs, shard_ctx.frame_offset, w_local, 1)
+
         frozen = jnp.arange(w) < cfg.numFixedPoses
         # Points need >= 2 window observations to constrain anything
         # (reference: "for each ScenePoint p with >= 2 observations").
@@ -267,7 +319,7 @@ class PhotometricBundleAdjustment:
                 if cfg.depthPriorWeight > 0 else None
             )
             return lm.lm_solve(
-                cam, t_wc0, x_world0, patch, channels, grads, obs,
+                cam, t_wc0, x_world0, patch, channels, grads, slice_obs(obs),
                 pv, frz, self.offsets,
                 huber_delta=cfg.robustThreshold,
                 gradient_mode=cfg.resolve_gradient_mode(),
@@ -284,6 +336,7 @@ class PhotometricBundleAdjustment:
                 gradient_tolerance=cfg.gradientTolerance,
                 min_obs_per_frame=cfg.minObsPerFrame,
                 reduce_fn=reduce_fn,
+                shard_ctx=shard_ctx,
             )
 
         from ..geometry import se3 as se3_mod

@@ -103,6 +103,50 @@ def wrap_engine_optimize(optimize_impl, mesh: Mesh, *,
     )
 
 
+def window_frame_specs(spec_frames, spec_rep) -> state.Window:
+    """Window specs for frames-axis sharding: the per-frame IMAGE leaves
+    (channels/grads/saliency/depth/depth_ok) sharded over 'frames' on their
+    leading (W) axis — the memory that used to be replicated — while poses,
+    frame ids and the occupancy count stay replicated (they are the tiny
+    globally-coupled state every shard needs)."""
+    return state.Window(
+        channels=spec_frames, grads=spec_frames, saliency=spec_frames,
+        t_wc=spec_rep, frame_ids=spec_rep,
+        depth=spec_frames, depth_ok=spec_frames, count=spec_rep)
+
+
+def wrap_engine_optimize_frames(optimize_impl, mesh: Mesh):
+    """Engine solve over the ('frames', 'points') 2-D mesh (round-3: the
+    engine-level wiring of make_frames_sharded_solver's layout — SURVEY.md
+    5.7, BASELINE config 4). Window image leaves arrive sharded over
+    'frames' (per-chip window memory = W / n_frames frames), point-table
+    leaves over 'points'; `optimize_impl(window, points, shard_ctx=...)`
+    receives the full ShardCtx instead of the plain points-psum hook.
+    Returns the shard_map-wrapped callable (un-jitted)."""
+    fr, pt, rep = P(FRAMES_AXIS), P(POINTS_AXIS), P()
+    n_frames = mesh.shape[FRAMES_AXIS]
+
+    def fn(window, points):
+        w_local = window.channels.shape[0]
+        sc = lm.ShardCtx(
+            reduce_points=lambda v: jax.lax.psum(v, POINTS_AXIS),
+            reduce_frames=lambda v: jax.lax.psum(v, FRAMES_AXIS),
+            reduce_obs=lambda v: jax.lax.psum(v, (FRAMES_AXIS, POINTS_AXIS)),
+            gather_frames=lambda v, axis: jax.lax.all_gather(
+                v, FRAMES_AXIS, axis=axis, tiled=True),
+            frame_offset=jax.lax.axis_index(FRAMES_AXIS) * w_local,
+        )
+        return optimize_impl(window, points, shard_ctx=sc)
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(window_frame_specs(fr, rep), _point_specs(pt)),
+        out_specs=(window_frame_specs(fr, rep), _point_specs(pt),
+                   _stats_specs(rep), pt),
+        check_vma=False,
+    )
+
+
 def wrap_batched_optimize(optimize_impl, mesh: Mesh, *,
                           points_axis: str = POINTS_AXIS,
                           windows_axis: str = WINDOWS_AXIS):
