@@ -75,9 +75,11 @@ def main() -> int:
                     help="comma-separated subset of configs to run")
     args = ap.parse_args()
     if args.drift_trans is None:
-        args.drift_trans = 0.03 if args.error_model == "walk" else 0.02
+        # walk defaults reproduce the round-2 published table (1%-of-motion
+        # drift, init ATE 0.2919 at 200 frames, seed 99).
+        args.drift_trans = 0.008 if args.error_model == "walk" else 0.02
     if args.drift_rot is None:
-        args.drift_rot = 0.002 if args.error_model == "walk" else 0.001
+        args.drift_rot = 0.0005 if args.error_model == "walk" else 0.001
     if args.out_dir is None:
         args.out_dir = f"/tmp/golden_kitti_out_{args.error_model}"
 
