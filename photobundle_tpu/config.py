@@ -102,6 +102,19 @@ class PBAConfig:
                                           # consecutive window poses to the
                                           # VO initialization (1/sigma in
                                           # twist units; 0 = reference-exact)
+    posePriorWeight: float = 0.0          # ABSOLUTE pose prior anchoring
+                                          # each window pose to its RAW VO
+                                          # input pose (window.t_vo). The
+                                          # sliding chain otherwise discards
+                                          # the input's absolute anchoring
+                                          # and integrates photometric
+                                          # relative noise into a walk; this
+                                          # fuses the VO absolute estimate
+                                          # back in (optimal when VO error
+                                          # is frame-iid; under pure drift
+                                          # it bounds refinement at the VO
+                                          # drift level — keep it small).
+                                          # 0 = reference-exact.
     numThreads: int = 4                   # host worker threads (reference:
                                           # Options::numThreads for Ceres /
                                           # OpenMP; here: native data-loader

@@ -327,6 +327,8 @@ class PhotometricBundleAdjustment:
                 depth_prior=depth_prior,
                 motion_prior_weight=cfg.motionPriorWeight,
                 motion_prior_anchor=anchor,
+                pose_prior=((window.t_vo, cfg.posePriorWeight)
+                            if cfg.posePriorWeight > 0 else None),
                 max_iterations=max_iter,
                 initial_lambda=cfg.initialLambda,
                 min_lambda=cfg.minLambda,
@@ -650,7 +652,10 @@ class PhotometricBundleAdjustment:
             for name in self.points._fields})
         self.window = self.window._replace(**{
             name: jnp.asarray(data[f"window.{name}"])
-            for name in self.window._fields})
+            for name in self.window._fields
+            if f"window.{name}" in data.files})
+        if "window.t_vo" not in data.files:   # pre-round-3 snapshot
+            self.window = self.window._replace(t_vo=self.window.t_wc)
         self._frame_count = int(data["frame_count"])
         self._ingest_seq = (int(data["ingest_seq"])
                             if "ingest_seq" in data.files

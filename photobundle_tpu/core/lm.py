@@ -120,6 +120,7 @@ def lm_solve(
     depth_prior: tuple | None = None,
     motion_prior_weight: float = 0.0,
     motion_prior_anchor: jax.Array | None = None,
+    pose_prior: tuple | None = None,
     max_iterations: int = 50,
     initial_lambda: float = 1e-4,
     min_lambda: float = 1e-10,
@@ -193,30 +194,56 @@ def lm_solve(
                 else se3.se3_inverse(t_wc[:-1]) @ t_wc[1:])
     else:
         rel0 = None
+    # Absolute pose prior (no reference counterpart; cfg.posePriorWeight):
+    # anchors each window pose to its RAW VO input pose,
+    #   r_f = w_a * log(T_vo_f^{-1} T_f),
+    # first-order Jacobian dr/dxi_f = w_a I under right retraction. The
+    # sliding chain re-anchors every window on its own previous refinement,
+    # so photometric relative noise integrates into an unbounded walk; the
+    # VO input's ABSOLUTE poses are the one unbiased measurement of that
+    # walk (exactly so under an iid error model), and this term fuses them
+    # back in. Weight 0 reproduces reference behavior exactly.
+    wa = 0.0 if pose_prior is None else float(pose_prior[1])
+    use_abs = wa > 0.0
+    t_anchor = pose_prior[0] if use_abs else None
+    use_any_prior = use_motion or use_abs
+
+    def abs_residual(t):
+        return wa * se3.se3_log(se3.se3_inverse(t_anchor) @ t)   # (W, 6)
 
     def prior_cost_terms(t):
-        if not use_motion:
-            return jnp.asarray(0.0, t.dtype)
-        rel = se3.se3_inverse(t[:-1]) @ t[1:]
-        r = wm * se3.se3_log(se3.se3_inverse(rel0) @ rel)
-        return 0.5 * jnp.sum(r * r)
+        c = jnp.asarray(0.0, t.dtype)
+        if use_motion:
+            rel = se3.se3_inverse(t[:-1]) @ t[1:]
+            r = wm * se3.se3_log(se3.se3_inverse(rel0) @ rel)
+            c = c + 0.5 * jnp.sum(r * r)
+        if use_abs:
+            ra = abs_residual(t)
+            c = c + 0.5 * jnp.sum(ra * ra)
+        return c
 
     def prior_system(t):
-        """(hcc_diag (W,6,6), coupling (W,W,6,6) off-diag, bc (W,6))."""
-        rel = se3.se3_inverse(t[:-1]) @ t[1:]
-        r = wm * se3.se3_log(se3.se3_inverse(rel0) @ rel)     # (W-1, 6)
-        ad = se3.adjoint(se3.se3_inverse(rel))                # (W-1, 6, 6)
+        """(hcc_diag (W,6,6), coupling (W,W,6,6) off-diag | None, bc (W,6))."""
         eye6 = jnp.eye(6, dtype=t.dtype)
-        idx = jnp.arange(w_sz - 1)
         hd = jnp.zeros((w_sz, 6, 6), t.dtype)
-        hd = hd.at[idx + 1].add(wm * wm * eye6[None])
-        hd = hd.at[idx].add(wm * wm * jnp.einsum("fki,fkj->fij", ad, ad))
-        coup = jnp.zeros((w_sz, w_sz, 6, 6), t.dtype)
-        coup = coup.at[idx, idx + 1].add(-wm * wm * jnp.swapaxes(ad, -1, -2))
-        coup = coup.at[idx + 1, idx].add(-wm * wm * ad)
         bc = jnp.zeros((w_sz, 6), t.dtype)
-        bc = bc.at[idx + 1].add(-wm * r)
-        bc = bc.at[idx].add(wm * jnp.einsum("fki,fk->fi", ad, r))
+        coup = None
+        if use_motion:
+            rel = se3.se3_inverse(t[:-1]) @ t[1:]
+            r = wm * se3.se3_log(se3.se3_inverse(rel0) @ rel)     # (W-1, 6)
+            ad = se3.adjoint(se3.se3_inverse(rel))                # (W-1, 6, 6)
+            idx = jnp.arange(w_sz - 1)
+            hd = hd.at[idx + 1].add(wm * wm * eye6[None])
+            hd = hd.at[idx].add(wm * wm * jnp.einsum("fki,fkj->fij", ad, ad))
+            coup = jnp.zeros((w_sz, w_sz, 6, 6), t.dtype)
+            coup = coup.at[idx, idx + 1].add(
+                -wm * wm * jnp.swapaxes(ad, -1, -2))
+            coup = coup.at[idx + 1, idx].add(-wm * wm * ad)
+            bc = bc.at[idx + 1].add(-wm * r)
+            bc = bc.at[idx].add(wm * jnp.einsum("fki,fk->fi", ad, r))
+        if use_abs:
+            hd = hd + wa * wa * eye6[None]
+            bc = bc - wa * abs_residual(t)
         return hd, coup, bc
 
     res0 = eval_stats(t_wc, x_world)
@@ -246,8 +273,8 @@ def lm_solve(
             hpc=sc.gather_frames(eq.hpc, 0),   # (W_local,3,6,N) -> (W,...)
         )
         coupling = None
-        if use_motion:
-            # Added AFTER the psum — the prior is replicated pose math.
+        if use_any_prior:
+            # Added AFTER the psum — the priors are replicated pose math.
             hd, coupling, bc_p = prior_system(st.t_wc)
             eq = eq._replace(hcc=eq.hcc + hd, bc=eq.bc + bc_p)
         # Freeze poses with too little support in addition to gauge: a

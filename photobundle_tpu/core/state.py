@@ -24,6 +24,8 @@ C = channels, P = patch pixels):
         grads     (W, C, H, W_img, 2)
         saliency  (W, H, W_img)
         t_wc      (W, 4, 4)          world-from-camera poses
+        t_vo      (W, 4, 4)          RAW VO input poses (never refined) —
+                                     the absolute anchor for posePriorWeight
         frame_ids (W,)               global frame ids (-1 = empty slot)
         depth     (W, H, W_img)      metric depth (for new-point init)
         depth_ok  (W, H, W_img)      depth validity
@@ -62,6 +64,7 @@ class Window(NamedTuple):
     grads: jax.Array
     saliency: jax.Array
     t_wc: jax.Array
+    t_vo: jax.Array
     frame_ids: jax.Array
     depth: jax.Array
     depth_ok: jax.Array
@@ -100,6 +103,7 @@ def init_window(cfg: PBAConfig, image_shape, dtype=jnp.float32) -> Window:
         grads=jnp.zeros((w, c, h, wimg, 2), dtype),
         saliency=jnp.zeros((w, h, wimg), dtype),
         t_wc=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (w, 4, 4)),
+        t_vo=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (w, 4, 4)),
         frame_ids=jnp.full((w,), -1, jnp.int32),
         depth=jnp.zeros((w, h, wimg), dtype),
         depth_ok=jnp.zeros((w, h, wimg), bool),
@@ -140,6 +144,10 @@ def push_frame(win: Window, channels, grads, saliency, t_wc, frame_id, depth, de
         grads=sel(win.grads, grads),
         saliency=sel(win.saliency, saliency),
         t_wc=sel(win.t_wc, t_wc),
+        # The incoming pose is the caller's RAW VO estimate; t_wc gets
+        # refined by window solves while t_vo keeps the original — the
+        # unbiased absolute measurement the pose prior anchors to.
+        t_vo=sel(win.t_vo, t_wc),
         frame_ids=sel(win.frame_ids, jnp.asarray(frame_id, jnp.int32)),
         depth=sel(win.depth, depth),
         depth_ok=sel(win.depth_ok, depth_ok),

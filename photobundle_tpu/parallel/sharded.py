@@ -111,7 +111,7 @@ def window_frame_specs(spec_frames, spec_rep) -> state.Window:
     globally-coupled state every shard needs)."""
     return state.Window(
         channels=spec_frames, grads=spec_frames, saliency=spec_frames,
-        t_wc=spec_rep, frame_ids=spec_rep,
+        t_wc=spec_rep, t_vo=spec_rep, frame_ids=spec_rep,
         depth=spec_frames, depth_ok=spec_frames, count=spec_rep)
 
 

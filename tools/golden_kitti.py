@@ -58,6 +58,13 @@ CONFIGS = {
     # Coarse-to-fine (round-2): 3-level schedule at the reference window.
     "W5_coarse2fine": dict(slidingWindowSize=5, pyramidLevels=3,
                            coarseToFine=True),
+    # Production W=5 (round 3): motion prior + ABSOLUTE pose prior. The
+    # sliding chain re-anchors each window on its own previous refinement
+    # and discards the VO input's absolute anchoring; posePriorWeight
+    # fuses it back in (unbiased under iid error; bounds walk injection
+    # under drift). See config.py posePriorWeight.
+    "W5_production": dict(slidingWindowSize=5, motionPriorWeight=2.0,
+                          posePriorWeight=1.0),
 }
 
 
@@ -73,6 +80,9 @@ def main() -> int:
     ap.add_argument("--drift-rot", type=float, default=None)
     ap.add_argument("--configs", default=",".join(CONFIGS),
                     help="comma-separated subset of configs to run")
+    ap.add_argument("--set", action="append", default=[],
+                    help="extra key=value config override applied on top "
+                         "of every selected config (sweeps)")
     args = ap.parse_args()
     if args.drift_trans is None:
         # walk defaults reproduce the round-2 published table (1%-of-motion
@@ -114,9 +124,21 @@ def main() -> int:
           f"RPE(1) {rpe_init:.4f} m / {np.degrees(rper_init):.3f} deg "
           f"({args.frames} frames)")
 
+    import dataclasses
+
+    from photobundle_tpu.config import _field_pytype
+
+    fields = {f.name: f for f in dataclasses.fields(PBAConfig)}
+    extra = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        ty = _field_pytype(fields[k])
+        extra[k] = (v.lower() in ("1", "true", "yes") if ty is bool
+                    else ty(v))
+
     rows = []
     for name in args.configs.split(","):
-        overrides = CONFIGS[name]
+        overrides = dict(CONFIGS[name], **extra)
         cfg = PBAConfig(dataDir=args.root, sequence=0,
                         numFrames=args.frames,
                         stereoAlgorithm="BM", numDisparities=128,
