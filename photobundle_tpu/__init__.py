@@ -31,6 +31,20 @@ import jax as _jax
 # measurable (bench.py before/after is identical within noise).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Honor JAX_PLATFORMS=cpu from the environment. Some deployment images
+# pre-register a remote TPU backend at interpreter boot (sitecustomize)
+# with a jax_platforms config override, which silently WINS over the env
+# var — `JAX_PLATFORMS=cpu python tools/...` then hangs dialing a dead
+# tunnel instead of running on CPU. Re-applying the env var's choice at
+# package import restores the documented JAX contract for every CLI/tool;
+# TPU runs (bench.py, __graft_entry__.py) are unaffected because their
+# environment requests the TPU platform.
+import os as _os
+
+_env_platforms = _os.environ.get("JAX_PLATFORMS", "")
+if _env_platforms and _env_platforms != _jax.config.jax_platforms:
+    _jax.config.update("jax_platforms", _env_platforms)
+
 from .config import ConfigFile, PBAConfig
 from .geometry.camera import Camera
 

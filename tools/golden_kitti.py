@@ -64,7 +64,13 @@ CONFIGS = {
     # fuses it back in (unbiased under iid error; bounds walk injection
     # under drift). See config.py posePriorWeight.
     "W5_production": dict(slidingWindowSize=5, motionPriorWeight=2.0,
-                          posePriorWeight=1.0),
+                          posePriorWeight=4.0),
+    # Production + coarse-to-fine: with the chain anchored, c2f composes
+    # cleanly (round-2's "c2f makes the chain worse" was the unanchored
+    # walk, amplified — not a c2f defect) and is the best walk-model row.
+    "W5_production_c2f": dict(slidingWindowSize=5, motionPriorWeight=2.0,
+                              posePriorWeight=4.0, pyramidLevels=3,
+                              coarseToFine=True),
 }
 
 
