@@ -103,6 +103,7 @@ def test_engine_improves_drifting_trajectory(scene):
     assert ate_ref < 0.8 * ate_init, (ate_init, ate_ref)
 
 
+@pytest.mark.slow
 def test_engine_coarse_to_fine_extends_basin(scene):
     """cfg.coarseToFine (SURVEY.md 3.4, BASELINE config 2): with an initial
     pose error ~4x larger than the single-level convergence basin, the
@@ -331,6 +332,7 @@ def test_engine_pipelined_results_match_sync(scene):
         assert ra.num_points == rb.num_points
 
 
+@pytest.mark.slow
 def test_batched_engine_matches_individual(scene):
     """BatchedPhotometricBundleAdjustment must reproduce B independent
     engines' trajectories (vmapped state machine == B state machines)."""

@@ -14,6 +14,7 @@ Test-design notes (hard-won, keep in mind when editing):
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -177,6 +178,7 @@ def test_motion_prior_zero_matches_reference_path(rng):
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
 
+@pytest.mark.slow
 def test_motion_prior_strength_ordering(rng):
     """The prior anchors to the INITIALIZATION, so with a jittered init a
     stronger prior permits less correction — refinement quality must order

@@ -1,6 +1,7 @@
 """Multi-sequence DP driver + elastic scheduler end-to-end (CPU)."""
 
 import os
+import pytest
 import sys
 
 import numpy as np
@@ -42,6 +43,7 @@ maxDepth = 60.0
     return cfgp
 
 
+@pytest.mark.slow
 def test_multi_sequence_inline(tmp_path, rng):
     root, gts = _make_dataset(tmp_path, rng, [0, 1])
     cfgp = _write_cfg(tmp_path, root)
@@ -73,6 +75,7 @@ def test_multi_sequence_chunked_merge(tmp_path, rng):
     assert len([f for f in os.listdir(sched) if f.endswith(".done")]) == 2
 
 
+@pytest.mark.slow
 def test_multi_sequence_spawned_workers(tmp_path, rng):
     """Two spawned worker processes share the elastic scheduler and refine
     disjoint units (the real DP deployment shape)."""

@@ -49,6 +49,7 @@ def _spawn(mode: str, outdir: str):
             for k in range(N_PROC)]
 
 
+@pytest.mark.slow
 def test_two_process_sharded_solve_matches_single(tmp_path):
     ranks = _spawn("solve", str(tmp_path))
     # Identical results on every rank.
@@ -82,6 +83,7 @@ def test_two_process_sharded_solve_matches_single(tmp_path):
     assert ranks[0]["final_cost"] < float(stats.initial_cost)
 
 
+@pytest.mark.slow
 def test_two_process_full_engine_identical_trajectories(tmp_path):
     """2-process full-engine e2e: ingest + track + select + sharded solve,
     global mesh spanning both processes; refined trajectories must be

@@ -2,6 +2,7 @@
 'hard part': must match jax.grad through the interpolation)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -143,6 +144,7 @@ def test_sampled_mode_close_to_exact(rng):
     assert corr > 0.85, corr
 
 
+@pytest.mark.slow
 def test_bicubic_jacobians_match_autodiff(rng):
     """gradient_mode='bicubic' (Ceres-parity sampling): the factored
     analytic Jacobians must match jax.grad through the Catmull-Rom

@@ -91,6 +91,7 @@ def test_frames_sharded_matches_single_device(rng):
     assert int(s_shard.iterations) == int(s_single.iterations)
 
 
+@pytest.mark.slow
 def test_frames_sharded_with_priors_matches(rng):
     """Frames sharding with the inverse-depth prior (global ref_slot ->
     local comparison) and the motion prior (replicated pose math): both
@@ -155,6 +156,7 @@ def scene_mod():
     return cam, images, depths, poses
 
 
+@pytest.mark.slow
 def test_engine_mesh_points_matches_single_device(scene_mod):
     """Full engine with cfg.meshPoints=4 (points-sharded solve under
     shard_map) must match the single-device engine's refined trajectory —
@@ -184,6 +186,7 @@ def test_engine_mesh_points_matches_single_device(scene_mod):
         np.testing.assert_allclose(pa, pb, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_engine_mesh_windows_from_cfg(scene_mod):
     """meshWindows driven END-TO-END from a .cfg (round-1 VERDICT item 7):
     the batched engine over the ('windows'=2, 'points'=4) 8-device mesh
@@ -238,6 +241,7 @@ def test_engine_mesh_windows_from_cfg(scene_mod):
         assert k == len(batched_poses)
 
 
+@pytest.mark.slow
 def test_engine_mesh_frames_matches_single_device(scene_mod):
     """Full engine with cfg.meshFrames=2 x meshPoints=4 (round-3 VERDICT
     item 3: the window ring's image leaves REST sharded over the 'frames'
