@@ -78,10 +78,47 @@ def time_solve(device, iters, repeats=5):
     return n_done / med, n_done, med
 
 
+def _devices_with_watchdog(timeout_s=240.0):
+    """Backend bring-up with a timeout. The TPU backend here is a remote
+    chip behind a tunnel; when the tunnel is down, jax.devices() blocks
+    forever inside PJRT client init — which would hang the whole benchmark
+    harness. Probe in a daemon thread and give up after `timeout_s`."""
+    import threading
+
+    result = {}
+
+    def probe():
+        # The package import applies JAX_PLATFORMS from the environment
+        # over any boot-time jax_platforms config override, so
+        # `JAX_PLATFORMS=cpu python bench.py` really probes CPU.
+        import photobundle_tpu  # noqa: F401
+        import jax
+
+        result["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return result.get("devices")
+
+
 def main():
+    devices = _devices_with_watchdog()
+    if devices is None:
+        print(json.dumps({
+            "metric": "BA_iterations_per_s_kitti_scale_window",
+            "value": 0.0,
+            "unit": "LM iterations/s (4096 pts x 5 frames x 5x5 patches, 370x1226)",
+            "vs_baseline": None,
+            "error": "accelerator backend init timed out (TPU tunnel down?) "
+                     "— no measurement taken",
+        }))
+        import os
+
+        os._exit(1)
     import jax
 
-    accel = jax.devices()[0]
+    accel = devices[0]
     tpu_ips, tpu_n, tpu_t = time_solve(accel, ITERS, repeats=5)
 
     vs_baseline = None
