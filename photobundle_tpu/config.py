@@ -115,6 +115,15 @@ class PBAConfig:
                                           # it bounds refinement at the VO
                                           # drift level — keep it small).
                                           # 0 = reference-exact.
+    posePriorRotWeight: float = -1.0      # separate ROTATION weight for the
+                                          # absolute pose prior (the twist
+                                          # residual [rho|omega] mixes
+                                          # meters and radians; VO rotation
+                                          # noise is usually relatively
+                                          # tighter than translation).
+                                          # -1 = use posePriorWeight for
+                                          # both components; 0 = anchor
+                                          # translation only.
     numThreads: int = 4                   # host worker threads (reference:
                                           # Options::numThreads for Ceres /
                                           # OpenMP; here: native data-loader

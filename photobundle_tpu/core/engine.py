@@ -327,8 +327,10 @@ class PhotometricBundleAdjustment:
                 depth_prior=depth_prior,
                 motion_prior_weight=cfg.motionPriorWeight,
                 motion_prior_anchor=anchor,
-                pose_prior=((window.t_vo, cfg.posePriorWeight)
-                            if cfg.posePriorWeight > 0 else None),
+                pose_prior=((window.t_vo, cfg.posePriorWeight,
+                             cfg.posePriorRotWeight)
+                            if (cfg.posePriorWeight > 0
+                                or cfg.posePriorRotWeight > 0) else None),
                 max_iterations=max_iter,
                 initial_lambda=cfg.initialLambda,
                 min_lambda=cfg.minLambda,

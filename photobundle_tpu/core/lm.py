@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import se3
 from . import schur
@@ -203,13 +204,22 @@ def lm_solve(
     # VO input's ABSOLUTE poses are the one unbiased measurement of that
     # walk (exactly so under an iid error model), and this term fuses them
     # back in. Weight 0 reproduces reference behavior exactly.
-    wa = 0.0 if pose_prior is None else float(pose_prior[1])
-    use_abs = wa > 0.0
+    # pose_prior = (T_vo, w_trans[, w_rot]); w_rot defaults to w_trans.
+    # Splitting the weights is statistically correct: VO translation and
+    # rotation noise have different units and very different relative
+    # precision, and the twist residual mixes them ([rho|omega] order).
+    wa_t = 0.0 if pose_prior is None else float(pose_prior[1])
+    wa_r = (wa_t if (pose_prior is None or len(pose_prior) < 3
+                     or pose_prior[2] is None or pose_prior[2] < 0)
+            else float(pose_prior[2]))
+    use_abs = wa_t > 0.0 or wa_r > 0.0
     t_anchor = pose_prior[0] if use_abs else None
     use_any_prior = use_motion or use_abs
+    _w6 = np.array([wa_t] * 3 + [wa_r] * 3, np.float32)
 
     def abs_residual(t):
-        return wa * se3.se3_log(se3.se3_inverse(t_anchor) @ t)   # (W, 6)
+        w6 = jnp.asarray(_w6, t.dtype)
+        return w6 * se3.se3_log(se3.se3_inverse(t_anchor) @ t)   # (W, 6)
 
     def prior_cost_terms(t):
         c = jnp.asarray(0.0, t.dtype)
@@ -242,8 +252,9 @@ def lm_solve(
             bc = bc.at[idx + 1].add(-wm * r)
             bc = bc.at[idx].add(wm * jnp.einsum("fki,fk->fi", ad, r))
         if use_abs:
-            hd = hd + wa * wa * eye6[None]
-            bc = bc - wa * abs_residual(t)
+            w6 = jnp.asarray(_w6, t.dtype)
+            hd = hd + jnp.diag(w6 * w6)[None]
+            bc = bc - w6 * abs_residual(t)
         return hd, coup, bc
 
     res0 = eval_stats(t_wc, x_world)

@@ -245,3 +245,57 @@ def test_frozen_poses_bitwise_invariant_at_world_scale(rng):
     assert int(stats.accepted_steps) >= 1
     np.testing.assert_array_equal(np.asarray(t_out[0]), np.asarray(t_big[0]))
     np.testing.assert_array_equal(np.asarray(t_out[1]), np.asarray(t_big[1]))
+
+
+def test_pose_prior_zero_matches_reference_path(rng):
+    """posePriorWeight 0 (or None) must be bit-identical to the no-prior
+    code path — the reference has no absolute prior."""
+    from test_residuals import setup_problem
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=8, w=3)
+    frozen = jnp.asarray([True, False, False])
+    pv = jnp.ones((x.shape[0],), bool)
+    kw = dict(huber_delta=0.05, max_iterations=6)
+    a = lm.lm_solve(cam, t_wc, x + 0.01, patch, ch, g, obs, pv, frozen, off,
+                    pose_prior=(t_wc, 0.0), **kw)
+    b = lm.lm_solve(cam, t_wc, x + 0.01, patch, ch, g, obs, pv, frozen, off,
+                    **kw)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_pose_prior_split_rot_weight(rng):
+    """A rotation-only absolute prior (w_trans=0, w_rot large) must pin
+    rotations to the anchor while leaving translations free to refine:
+    the twist residual is [rho|omega]-ordered and the split weights must
+    land on the right components."""
+    from test_residuals import setup_problem
+    from photobundle_tpu.geometry import se3
+
+    cam, t_gt, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=24, w=4)
+    xi = rng.standard_normal((4, 6)).astype(np.float32) * 0.01
+    xi[:1] = 0
+    t_init = jnp.asarray(np.asarray(t_gt @ se3.se3_exp(jnp.asarray(xi))))
+    frozen = jnp.asarray([True] + [False] * 3)
+    pv = jnp.ones((x.shape[0],), bool)
+    kw = dict(huber_delta=0.05, max_iterations=10)
+
+    t_free, _, _ = lm.lm_solve(cam, t_init, x, patch, ch, g, obs, pv,
+                               frozen, off, **kw)
+    t_rot, _, _ = lm.lm_solve(cam, t_init, x, patch, ch, g, obs, pv,
+                              frozen, off,
+                              pose_prior=(t_init, 0.0, 1e4), **kw)
+
+    def rot_dev(t):  # rotation deviation from the anchor (rad, per pose)
+        rel = se3.se3_inverse(t_init) @ t
+        return np.linalg.norm(np.asarray(se3.se3_log(rel))[:, 3:], axis=-1)
+
+    def trans_dev(t):
+        return np.linalg.norm(np.asarray(t)[:, :3, 3]
+                              - np.asarray(t_init)[:, :3, 3], axis=-1)
+
+    # Rotations pinned: orders of magnitude closer to the anchor than the
+    # unconstrained solve (which corrects the injected rotation error).
+    assert rot_dev(t_rot).max() < 0.05 * max(rot_dev(t_free).max(), 1e-9)
+    # Translations still free: the solve moved them materially.
+    assert trans_dev(t_rot).max() > 0.2 * trans_dev(t_free).max()
