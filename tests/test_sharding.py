@@ -172,8 +172,11 @@ def test_engine_mesh_points_matches_single_device(scene_mod):
 
     results = {}
     for mesh_pts in (1, 4):
+        # Production priors ON so the replicated prior math (incl. the
+        # absolute pose prior's t_vo anchor) is pinned across mesh layouts.
         cfg = small_cfg(maxNumPoints=256, maxPointsPerFrame=64,
-                        maxIterations=10, meshPoints=mesh_pts)
+                        maxIterations=10, meshPoints=mesh_pts,
+                        motionPriorWeight=2.0, posePriorWeight=4.0)
         pba = PhotometricBundleAdjustment(cam, images[0].shape, cfg)
         poses = []
         for i, (img, depth) in enumerate(zip(images, depths)):
