@@ -89,6 +89,10 @@ def main() -> int:
     ap.add_argument("--set", action="append", default=[],
                     help="extra key=value config override applied on top "
                          "of every selected config (sweeps)")
+    ap.add_argument("--seed", type=int, default=99,
+                    help="VO error realization seed (99 reproduces the "
+                         "published BASELINE.md tables; other seeds check "
+                         "the result is not realization-lucky)")
     args = ap.parse_args()
     if args.drift_trans is None:
         # walk defaults reproduce the round-2 published table (1%-of-motion
@@ -114,7 +118,7 @@ def main() -> int:
     gt = traj_mod.load_poses_kitti(
         os.path.join(args.root, "poses", "00.txt"))
     gt = traj_mod.Trajectory(gt.poses[:args.frames])
-    rng = np.random.default_rng(99)
+    rng = np.random.default_rng(args.seed)
     make_err = drift_poses if args.error_model == "walk" else perturb_poses
     init = make_err(rng, gt.poses.astype(np.float32),
                     trans_sigma=args.drift_trans,
