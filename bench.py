@@ -107,7 +107,8 @@ def main():
     if devices is None:
         print(json.dumps({
             "metric": "BA_iterations_per_s_kitti_scale_window",
-            "value": 0.0,
+            "value": None,   # no measurement — a numeric 0.0 would be
+                             # ingested as a real (regressed) data point
             "unit": "LM iterations/s (4096 pts x 5 frames x 5x5 patches, 370x1226)",
             "vs_baseline": None,
             "error": "accelerator backend init timed out (TPU tunnel down?) "

@@ -70,23 +70,68 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
 
     refined = traj_mod.Trajectory(init_traj.poses.copy(),
                                   list(init_traj.frame_ids))
+
+    # Keyframe-gate replay (cfg.minKeyframeMotion): the gate is a pure
+    # function of the INIT trajectory, so its decisions for any prefix can
+    # be reconstructed deterministically — resume depends on this.
+    def replay_gate(upto: int):
+        """Gate decisions for dataset frames [0, upto): returns
+        (last_kf, anchor_of, ingested_ids)."""
+        last, anchors, ingested = None, {}, []
+        for j in range(upto):
+            if cfg.minKeyframeMotion > 0 and last is not None:
+                d = np.linalg.norm(init_traj.poses[j][:3, 3]
+                                   - init_traj.poses[last][:3, 3])
+                if d < cfg.minKeyframeMotion:
+                    anchors[j] = last
+                    continue
+            last = j
+            ingested.append(j)
+        return last, anchors, ingested
+
     start = 0
+    last_kf = None           # frame id of the last ingested keyframe
+    anchor_of = {}           # skipped frame id -> anchoring keyframe id
     ckpt = output + ".ckpt"
     snap = output + ".state.npz"
     if resume and os.path.exists(ckpt):
         with open(ckpt) as f:
-            start = int(f.read().strip())
+            done = int(f.read().strip())   # last COMPLETED dataset frame
+        # The interrupted run's output holds the refined poses for every
+        # completed window (tail = init); re-seeding `refined` from it
+        # preserves the refined prefix — rebuilding from init_traj would
+        # silently write RAW VO poses for all pre-resume frames.
+        if os.path.exists(output):
+            prev = traj_mod.load_poses_kitti(output)
+            if len(prev) == len(refined):
+                refined = traj_mod.Trajectory(prev.poses.copy(),
+                                              list(refined.frame_ids))
+            else:
+                log.warn("resume: %s has %d poses, expected %d — "
+                         "starting from the VO init", output, len(prev),
+                         len(refined))
         if snapshot_every > 0 and os.path.exists(snap):
-            # Bitwise-exact resume: the snapshot records its own frame
-            # counter (it may be older than the .ckpt frame).
+            # Bitwise-exact resume: the snapshot records its own ingest
+            # counter (it may be older than the .ckpt frame). The next
+            # DATASET frame is one past the newest frame id in the ring —
+            # NOT pba._frame_count, which counts ingested frames only and
+            # falls behind dataset indices when the keyframe gate skips.
             pba.load_state(snap)
-            start = pba._frame_count
+            start = int(np.max(np.asarray(pba.window.frame_ids))) + 1
             log.info("resuming from snapshot at frame %d", start)
         else:
-            log.info("resuming from frame %d", start)
-            # Windows overlapping the resume point are re-solved; the engine
-            # state rebuilds as frames [start - W + 1, start) are re-ingested.
-            start = max(0, start - cfg.slidingWindowSize + 1)
+            log.info("resuming from frame %d", done)
+            # Windows overlapping the resume point are re-solved; the
+            # engine rebuilds as the last W-1 INGESTED keyframes before
+            # `done` (gate replay; == dense frames when the gate is off)
+            # are re-ingested.
+            w_sz = cfg.slidingWindowSize
+            _, _, ingested = replay_gate(done + 1)
+            tail = [f for f in ingested if f <= done][-(w_sz - 1):]
+            start = tail[0] if tail else 0
+        # Seed the gate state at the resume point so decisions (and the
+        # skipped-frame post-pass) match an uninterrupted run.
+        last_kf, anchor_of, _ = replay_gate(start)
 
     if start > 0 and hasattr(dataset, "seek"):
         dataset.seek(start)
@@ -133,9 +178,8 @@ def run(cfg: PBAConfig, dataset, init_traj: traj_mod.Trajectory,
     # With the gate on, near-stationary frames are skipped (their stereo is
     # never computed) and anchored to the last ingested keyframe; their
     # refined pose is the keyframe's refined pose composed with the VO
-    # relative pose (applied in the post-pass below).
-    last_kf = None           # frame id of the last ingested keyframe
-    anchor_of = {}           # skipped frame id -> anchoring keyframe id
+    # relative pose (applied in the post-pass below). last_kf / anchor_of
+    # were pre-seeded by replay_gate() when resuming.
     try:
         for i in range(start, n):
             if cfg.minKeyframeMotion > 0 and last_kf is not None:

@@ -121,13 +121,25 @@ class KittiStereoDataset:
                 from .. import native as _nat
 
                 native_producer = _nat.available()
+            # Dataset identity fingerprint: without it, two datasets that
+            # share a cache dir, sequence number, and stereo parameters
+            # would silently serve each other's depths (and a re-rendered
+            # synthetic dataset would serve stale ones). The first image's
+            # path+size+mtime changes whenever the underlying data does.
+            import hashlib
+
+            probe = self.left_files[self.indices[0]]
+            st = os.stat(probe)
+            ident = hashlib.md5(
+                f"{os.path.abspath(probe)}|{st.st_size}|{st.st_mtime_ns}"
+                .encode()).hexdigest()[:10]
             key = "_".join(str(v) for v in (
                 cfg.stereoAlgorithm.upper(), cfg.numDisparities,
                 cfg.minDisparity, cfg.sadWindowSize, cfg.speckleWindowSize,
                 cfg.speckleRange, cfg.minDepth, cfg.maxDepth,
                 f"{float(self.camera.fx):.6g}",
                 f"{float(self.camera.baseline):.6g}",
-                "native" if native_producer else "jax"))
+                "native" if native_producer else "jax", ident))
             self._cache_dir = os.path.join(
                 self.cfg.depthCacheDir, f"seq{self.sequence:02d}_{key}")
             os.makedirs(self._cache_dir, exist_ok=True)
@@ -241,9 +253,16 @@ class KittiStereoDataset:
 
     def get_frame(self, i: int) -> StereoFrame:
         idx = self.indices[i]
-        if self._cache_all_hit:
+        # Per-frame cache hits serve even from a PARTIAL cache (an
+        # interrupted first sweep must not recompute the frames it already
+        # paid for); the prefetch pipeline is resynced past the served
+        # frame so its sequential consumption stays aligned.
+        if self._cache_dir is not None and os.path.exists(
+                self._cache_path(idx)):
             left = _imread_gray(self.left_files[idx])
             z = np.load(self._cache_path(idx))
+            if self._native is not None:
+                self._native.seek(i + 1)
             return StereoFrame(image=left, depth=z["depth"],
                                depth_valid=z["ok"],
                                timestamp=float(self.times[idx]), index=idx)

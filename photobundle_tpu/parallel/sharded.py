@@ -103,6 +103,20 @@ def wrap_engine_optimize(optimize_impl, mesh: Mesh, *,
     )
 
 
+def frames_shard_ctx(w_local: int) -> lm.ShardCtx:
+    """The ('frames','points') reduction wiring — ONE definition shared by
+    the standalone frames-sharded solver and the engine meshFrames path so
+    the two cannot drift apart (gather axis, frame_offset formula)."""
+    return lm.ShardCtx(
+        reduce_points=lambda v: jax.lax.psum(v, POINTS_AXIS),
+        reduce_frames=lambda v: jax.lax.psum(v, FRAMES_AXIS),
+        reduce_obs=lambda v: jax.lax.psum(v, (FRAMES_AXIS, POINTS_AXIS)),
+        gather_frames=lambda v, axis: jax.lax.all_gather(
+            v, FRAMES_AXIS, axis=axis, tiled=True),
+        frame_offset=jax.lax.axis_index(FRAMES_AXIS) * w_local,
+    )
+
+
 def window_frame_specs(spec_frames, spec_rep) -> state.Window:
     """Window specs for frames-axis sharding: the per-frame IMAGE leaves
     (channels/grads/saliency/depth/depth_ok) sharded over 'frames' on their
@@ -124,18 +138,9 @@ def wrap_engine_optimize_frames(optimize_impl, mesh: Mesh):
     receives the full ShardCtx instead of the plain points-psum hook.
     Returns the shard_map-wrapped callable (un-jitted)."""
     fr, pt, rep = P(FRAMES_AXIS), P(POINTS_AXIS), P()
-    n_frames = mesh.shape[FRAMES_AXIS]
 
     def fn(window, points):
-        w_local = window.channels.shape[0]
-        sc = lm.ShardCtx(
-            reduce_points=lambda v: jax.lax.psum(v, POINTS_AXIS),
-            reduce_frames=lambda v: jax.lax.psum(v, FRAMES_AXIS),
-            reduce_obs=lambda v: jax.lax.psum(v, (FRAMES_AXIS, POINTS_AXIS)),
-            gather_frames=lambda v, axis: jax.lax.all_gather(
-                v, FRAMES_AXIS, axis=axis, tiled=True),
-            frame_offset=jax.lax.axis_index(FRAMES_AXIS) * w_local,
-        )
+        sc = frames_shard_ctx(window.channels.shape[0])
         return optimize_impl(window, points, shard_ctx=sc)
 
     return jax.shard_map(
@@ -204,14 +209,7 @@ def make_frames_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
 
     def solve_local(t_wc, x_world, patch, channels, grads, obs_mask,
                     point_valid, frozen, ref_slot=None, seed=None):
-        sc = lm.ShardCtx(
-            reduce_points=lambda v: jax.lax.psum(v, POINTS_AXIS),
-            reduce_frames=lambda v: jax.lax.psum(v, FRAMES_AXIS),
-            reduce_obs=lambda v: jax.lax.psum(v, (FRAMES_AXIS, POINTS_AXIS)),
-            gather_frames=lambda v, axis: jax.lax.all_gather(
-                v, FRAMES_AXIS, axis=axis, tiled=True),
-            frame_offset=jax.lax.axis_index(FRAMES_AXIS) * w_local,
-        )
+        sc = frames_shard_ctx(w_local)
         depth_prior = ((ref_slot, seed, depth_prior_weight)
                        if use_prior else None)
         return lm.lm_solve(

@@ -273,6 +273,13 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
         obstacles = default_obstacles()
 
     for i, p in enumerate(poses):
+        # Per-frame renders are pure functions of (texture, pose) — the rng
+        # is fully consumed by make_texture above — so an interrupted
+        # render resumes by skipping frames already on disk.
+        out_l = os.path.join(seq_dir, "image_0", f"{i:06d}.png")
+        out_r = os.path.join(seq_dir, "image_1", f"{i:06d}.png")
+        if os.path.exists(out_l) and os.path.exists(out_r):
+            continue
         img_l, _ = render_box(tex, cam, p, shape, obstacles=obstacles)
         pr = p.copy()
         pr[:3, 3] = p[:3, 3] + p[:3, :3] @ np.array([baseline, 0, 0],

@@ -1,6 +1,8 @@
 """End-to-end engine test: synthetic sequence, perturbed VO trajectory in,
 refined trajectory out — ATE must drop (the golden test of SURVEY.md 4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -455,3 +457,94 @@ def test_engine_absolute_pose_prior_anchors_iid_noise(scene):
     dev_base = traj_mod.ate_rmse(base, init_traj, align=False)
     dev_anch = traj_mod.ate_rmse(anchored, init_traj, align=False)
     assert dev_anch < dev_base, (dev_base, dev_anch)
+
+
+def test_cli_resume_preserves_refined_prefix(scene, tmp_path):
+    """Resuming from a .ckpt must re-seed the trajectory from the
+    interrupted run's OUTPUT (refined prefix), not from the raw VO init —
+    regression for the round-3 review finding where every pre-resume frame
+    was silently written back as its init pose. Windows overlapping the
+    resume point are re-solved; frames strictly before the re-ingest
+    window must be byte-identical to the crash-time output."""
+    import pytest as _pytest
+    from photobundle_tpu import cli as cli_mod
+    from photobundle_tpu.io.kitti import PrecomputedDepthDataset
+
+    cam, images, depths, poses_gt = scene
+    rng = np.random.default_rng(11)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.03, rot_sigma=0.003,
+                         keep_first=2)
+    init_traj = traj_mod.Trajectory(init.astype(np.float64))
+    ds = PrecomputedDepthDataset(images=list(images), depths=list(depths),
+                                 camera=cam)
+    cfg = small_cfg()
+    out = str(tmp_path / "refined.txt")
+
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        if calls["n"] >= 4:
+            raise RuntimeError("simulated crash")
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        cli_mod.run(cfg, ds, init_traj, output=out, progress=False,
+                    on_window=boom)
+    assert os.path.exists(out + ".ckpt")
+    crash = traj_mod.load_poses_kitti(out)
+    # The crash-time output must already hold refined (non-init) poses.
+    assert not np.allclose(crash.poses[2], init_traj.poses[2])
+
+    resumed = cli_mod.run(cfg, ds, init_traj, output=out, progress=False,
+                          resume=True)
+    assert not os.path.exists(out + ".ckpt")
+    # done=7 (4th window), W=5 -> re-ingest starts at frame 4; frames 0-3
+    # keep the crash-time refinement exactly.
+    np.testing.assert_allclose(resumed.poses[:4], crash.poses[:4],
+                               atol=1e-12)
+    # And are NOT the raw init (the regressed behavior).
+    assert not np.allclose(resumed.poses[2], init_traj.poses[2])
+    assert not np.allclose(resumed.poses[3], init_traj.poses[3])
+
+
+def test_cli_resume_with_keyframe_gate(scene, tmp_path):
+    """minKeyframeMotion + resume: the gate's decisions are replayed from
+    the init trajectory, so a resumed run keeps pre-resume skipped frames
+    anchored to their (refined) keyframes and completes with every frame
+    present."""
+    import pytest as _pytest
+    from photobundle_tpu import cli as cli_mod
+    from photobundle_tpu.io.kitti import PrecomputedDepthDataset
+
+    cam, images, depths, poses_gt = scene
+    imgs = list(images[:4]) + [images[3]] * 3 + list(images[4:])
+    dpts = list(depths[:4]) + [depths[3]] * 3 + list(depths[4:])
+    gt = np.concatenate([poses_gt[:4], np.repeat(poses_gt[3:4], 3, axis=0),
+                         poses_gt[4:]], axis=0)
+    rng = np.random.default_rng(5)
+    init = perturb_poses(rng, gt, trans_sigma=0.03, rot_sigma=0.003,
+                         keep_first=2)
+    init[4:7] = init[3]
+    init_traj = traj_mod.Trajectory(init.astype(np.float64))
+    ds = PrecomputedDepthDataset(images=imgs, depths=dpts, camera=cam)
+    cfg = small_cfg(minKeyframeMotion=0.02)
+    out = str(tmp_path / "refined.txt")
+
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        if calls["n"] >= 5:
+            raise RuntimeError("simulated crash")
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        cli_mod.run(cfg, ds, init_traj, output=out, progress=False,
+                    on_window=boom)
+    resumed = cli_mod.run(cfg, ds, init_traj, output=out, progress=False,
+                          resume=True)
+    assert len(resumed) == len(imgs)
+    # Stationary frames (4..6, skipped by the gate pre-crash) still ride
+    # with their anchor keyframe after the resume.
+    for i in (4, 5, 6):
+        np.testing.assert_allclose(resumed.poses[i], resumed.poses[3],
+                                   atol=1e-12)

@@ -98,6 +98,10 @@ def main() -> int:
 
     # Cross-tab: how much of the total squared RPE lives in weakly-supported
     # windows vs well-supported ones?
+    if not rows:
+        print("\n(no frame pair maps to a solve record — too few frames, "
+              "or the JSONL predates the round-3 instrumentation fields)")
+        return 0
     arr = np.array([(r[1], r[3], r[4], r[5]) for r in rows])
     tot = (arr[:, 0] ** 2).sum()
     print("\nshare of refined RPE^2 by window support:")
