@@ -407,6 +407,10 @@ class PhotometricBundleAdjustment:
                     cfg.patchRadius,
                     mode="bicubic" if _gmode == "bicubic" else "sampled")
 
+            _pp = ((window.t_vo, cfg.posePriorWeight, cfg.posePriorRotWeight)
+                   if (cfg.posePriorWeight > 0 or cfg.posePriorRotWeight > 0)
+                   else None)
+
             def fine_cost(t, x):
                 dp = ((ref_slot, points.inv_depth_seed, self._prior_scale)
                       if cfg.depthPriorWeight > 0 else None)
@@ -419,7 +423,12 @@ class PhotometricBundleAdjustment:
                 c = res.cost
                 if reduce_fn is not None:
                     c = reduce_fn(c)
-                return c
+                # The guard must compare the FULL objective the final solve
+                # optimizes: prior terms added AFTER the reduce (replicated
+                # pose math), mirroring lm_solve.
+                return c + lm.prior_cost(
+                    t, motion_prior_weight=cfg.motionPriorWeight,
+                    rel0=anchor, pose_prior=_pp)
 
             use_warm = fine_cost(t_cur, x_cur) < fine_cost(
                 window.t_wc, points.x_world)

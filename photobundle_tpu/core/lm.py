@@ -87,6 +87,36 @@ def points_only_ctx(reduce_fn: Callable | None) -> ShardCtx:
     )
 
 
+def prior_cost(t, *, motion_prior_weight: float = 0.0, rel0=None,
+               pose_prior=None):
+    """0.5*||r||^2 of the replicated pose-prior terms (relative-motion +
+    absolute), exactly as lm_solve's objective counts them. ONE definition
+    shared by the solver and the engine's coarse-to-fine warm-start guard:
+    the guard must compare the FULL objective, or a coarse warm start that
+    trades prior cost for photometric cost is accepted into the wrong
+    basin. Replicated pose math — never psum this.
+
+    rel0: (W-1, 4, 4) relative-pose anchor (required when
+    motion_prior_weight > 0). pose_prior: (T_vo, w_trans[, w_rot]).
+    """
+    c = jnp.asarray(0.0, t.dtype)
+    wm = float(motion_prior_weight)
+    if wm > 0.0 and rel0 is not None:
+        rel = se3.se3_inverse(t[:-1]) @ t[1:]
+        r = wm * se3.se3_log(se3.se3_inverse(rel0) @ rel)
+        c = c + 0.5 * jnp.sum(r * r)
+    if pose_prior is not None:
+        wa_t = float(pose_prior[1])
+        wa_r = (wa_t if (len(pose_prior) < 3 or pose_prior[2] is None
+                         or pose_prior[2] < 0) else float(pose_prior[2]))
+        if wa_t > 0.0 or wa_r > 0.0:
+            w6 = jnp.asarray(np.array([wa_t] * 3 + [wa_r] * 3, np.float32),
+                             t.dtype)
+            r = w6 * se3.se3_log(se3.se3_inverse(pose_prior[0]) @ t)
+            c = c + 0.5 * jnp.sum(r * r)
+    return c
+
+
 class _LoopState(NamedTuple):
     t_wc: jax.Array
     x_world: jax.Array
@@ -222,15 +252,9 @@ def lm_solve(
         return w6 * se3.se3_log(se3.se3_inverse(t_anchor) @ t)   # (W, 6)
 
     def prior_cost_terms(t):
-        c = jnp.asarray(0.0, t.dtype)
-        if use_motion:
-            rel = se3.se3_inverse(t[:-1]) @ t[1:]
-            r = wm * se3.se3_log(se3.se3_inverse(rel0) @ rel)
-            c = c + 0.5 * jnp.sum(r * r)
-        if use_abs:
-            ra = abs_residual(t)
-            c = c + 0.5 * jnp.sum(ra * ra)
-        return c
+        return prior_cost(t, motion_prior_weight=wm if use_motion else 0.0,
+                          rel0=rel0,
+                          pose_prior=pose_prior if use_abs else None)
 
     def prior_system(t):
         """(hcc_diag (W,6,6), coupling (W,W,6,6) off-diag | None, bc (W,6))."""
