@@ -368,12 +368,6 @@ class PBAConfig:
                 raise ValueError(
                     f"slidingWindowSize {self.slidingWindowSize} not "
                     f"divisible by meshFrames {self.meshFrames}")
-            if self.coarseToFine:
-                # Coarse levels re-extract reference patches from the
-                # ref-frame image, which may live on another frame shard —
-                # a cross-shard image gather this layout does not implement.
-                raise ValueError(
-                    "coarseToFine is not supported with meshFrames > 1")
         return self
 
     @staticmethod

@@ -374,11 +374,26 @@ class PhotometricBundleAdjustment:
                 p, ok = patches_mod.extract_patches(ch_f, uv, self.offsets)
                 return p, ok & in_front
 
-            p_all, ok_all = jax.vmap(per_frame)(t_cur, ch_k)  # (W,N,C,P),(W,N)
-            n_idx = jnp.arange(x_cur.shape[0])
+            t_frames = (jax.lax.dynamic_slice_in_dim(
+                t_cur, shard_ctx.frame_offset, w_local, 0)
+                if frames_sharded else t_cur)
+            p_all, ok_all = jax.vmap(per_frame)(t_frames, ch_k)
+            # p_all (W_local, N, C, P); ok_all (W_local, N). Pick each
+            # point's REF-frame patch. Under frames sharding this is a
+            # cross-shard gather: exactly one shard owns a point's ref
+            # frame, so a local one-hot select + psum over 'frames'
+            # replicates the patch everywhere (~N*C*P floats, cheap on ICI).
             safe = jnp.maximum(ref_slot, 0)
-            patch_k = patches_mod.mean_normalize(p_all[safe, n_idx])
-            pv_k = point_valid & ok_all[safe, n_idx] & (ref_slot >= 0)
+            loc = safe - (shard_ctx.frame_offset if frames_sharded else 0)
+            sel = jnp.arange(w_local)[:, None] == loc[None, :]  # (W_local, N)
+            p_ref = jnp.sum(
+                jnp.where(sel[..., None, None], p_all, 0.0), axis=0)
+            ok_ref = jnp.any(sel & ok_all, axis=0)
+            if frames_sharded:
+                p_ref = shard_ctx.reduce_frames(p_ref)
+                ok_ref = shard_ctx.reduce_frames(ok_ref.astype(jnp.int32)) > 0
+            patch_k = patches_mod.mean_normalize(p_ref)
+            pv_k = point_valid & ok_ref & (ref_slot >= 0)
             t_cur, x_cur, _ = solve(
                 cam_k, self._prior_scale * (0.5 ** k), cfg.coarseIterations,
                 anchor, t_cur, x_cur, patch_k, ch_k, grads_k, points.obs,
@@ -412,16 +427,25 @@ class PhotometricBundleAdjustment:
                    else None)
 
             def fine_cost(t, x):
-                dp = ((ref_slot, points.inv_depth_seed, self._prior_scale)
+                # Mirrors lm_solve's frames-sharded evaluation: local frame
+                # slice of the poses/obs columns, ref slots shifted into the
+                # local frame, photometric cost psummed over BOTH axes.
+                _off = shard_ctx.frame_offset if frames_sharded else 0
+                dp = ((ref_slot - _off, points.inv_depth_seed,
+                       self._prior_scale)
                       if cfg.depthPriorWeight > 0 else None)
-                res = _ev(self.camera, t, x, points.patch, window.channels,
-                          window.grads,
-                          points.obs & point_valid[:, None],
+                t_loc = (jax.lax.dynamic_slice_in_dim(t, _off, w_local, 0)
+                         if frames_sharded else t)
+                res = _ev(self.camera, t_loc, x, points.patch,
+                          window.channels, window.grads,
+                          slice_obs(points.obs) & point_valid[:, None],
                           self.offsets, cfg.robustThreshold,
                           _gmode, depth_prior=dp,
                           backend=_backend, ctx=_ctx)
                 c = res.cost
-                if reduce_fn is not None:
+                if shard_ctx is not None:
+                    c = shard_ctx.reduce_obs(c)
+                elif reduce_fn is not None:
                     c = reduce_fn(c)
                 # The guard must compare the FULL objective the final solve
                 # optimizes: prior terms added AFTER the reduce (replicated

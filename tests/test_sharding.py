@@ -290,6 +290,37 @@ def test_mesh_frames_cfg_validation():
 
     with _pytest.raises(ValueError, match="divisible by meshFrames"):
         PBAConfig(slidingWindowSize=5, meshFrames=2).validate()
-    with _pytest.raises(ValueError, match="coarseToFine"):
-        PBAConfig(slidingWindowSize=4, meshFrames=2, coarseToFine=True,
-                  pyramidLevels=3).validate()
+
+
+def test_engine_mesh_frames_coarse_to_fine_matches_single_device(scene_mod):
+    """coarseToFine under cfg.meshFrames (round-3: the cross-shard
+    ref-image gather — each frame shard extracts coarse patches for its
+    local frames; a one-hot select + psum over 'frames' replicates each
+    point's ref-frame patch) must match the single-device c2f engine."""
+    import numpy as np
+    from photobundle_tpu.core.engine import PhotometricBundleAdjustment
+    from test_engine import small_cfg
+
+    cam, images, depths, poses_gt = scene_mod
+    rng = np.random.default_rng(6)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.02, rot_sigma=0.002,
+                         keep_first=2)
+
+    results = {}
+    for mesh_fr, mesh_pt in ((1, 1), (2, 4)):
+        cfg = small_cfg(slidingWindowSize=4, maxNumPoints=256,
+                        maxPointsPerFrame=64, maxIterations=8,
+                        coarseToFine=True, pyramidLevels=3,
+                        coarseIterations=4,
+                        meshFrames=mesh_fr, meshPoints=mesh_pt)
+        pba = PhotometricBundleAdjustment(cam, images[0].shape, cfg)
+        assert pba._n_coarse > 0, "c2f schedule must engage for this test"
+        poses = []
+        for img, depth, t in zip(images, depths, init):
+            r = pba.add_frame(img, depth, t)
+            if r is not None:
+                poses.append(r.poses.copy())
+        results[(mesh_fr, mesh_pt)] = poses
+    assert len(results[(1, 1)]) == len(results[(2, 4)]) > 0
+    for pa, pb in zip(results[(1, 1)], results[(2, 4)]):
+        np.testing.assert_allclose(pa, pb, atol=5e-5)
