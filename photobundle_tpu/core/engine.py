@@ -156,8 +156,23 @@ class PhotometricBundleAdjustment:
                 ns, window_frame_specs(P("frames"), P()))
             self._pt_shardings = jax.tree.map(
                 lambda _: ns(P("points")), self.points)
-            self.window = jax.device_put(self.window, self._win_shardings)
-            self.points = jax.device_put(self.points, self._pt_shardings)
+            if jax.process_count() > 1:
+                # Host-side frame routing across OS processes: every
+                # process computes the identical initial state (and, below,
+                # feeds identical replicated frame inputs); each supplies
+                # only the shards its own devices address. The jitted
+                # ingest's pinned out_shardings then KEEP each window slot
+                # on its owning process — the cross-process frame movement
+                # is XLA collective traffic, never a host hand-off.
+                place = lambda a, sh: jax.make_array_from_callback(
+                    np.shape(a), sh, lambda idx, _a=a: np.asarray(_a)[idx])
+                self.window = jax.tree.map(place, self.window,
+                                           self._win_shardings)
+                self.points = jax.tree.map(place, self.points,
+                                           self._pt_shardings)
+            else:
+                self.window = jax.device_put(self.window, self._win_shardings)
+                self.points = jax.device_put(self.points, self._pt_shardings)
         elif cfg.meshPoints > 1:
             from ..parallel import make_mesh
 
@@ -170,20 +185,18 @@ class PhotometricBundleAdjustment:
         # so replicated inputs are bitwise-identical across ranks.
         self._multiproc = (self._mesh is not None
                            and jax.process_count() > 1)
-        if self._multiproc and cfg.meshFrames > 1:
-            raise NotImplementedError(
-                "meshFrames > 1 over multiple OS processes requires "
-                "host-side frame routing (each process feeding its own "
-                "frame shard) — use the single-process multi-chip path")
         if self._multiproc:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(self._mesh, P())
-            globalize = lambda t: jax.tree.map(
-                lambda a: jax.make_array_from_process_local_data(
-                    rep, np.asarray(a)), t)
-            self.window = globalize(self.window)
-            self.points = globalize(self.points)
+            if cfg.meshFrames <= 1:
+                # Points-only meshes keep the (small) state replicated;
+                # the frames mesh placed its state sharded above.
+                globalize = lambda t: jax.tree.map(
+                    lambda a: jax.make_array_from_process_local_data(
+                        rep, np.asarray(a)), t)
+                self.window = globalize(self.window)
+                self.points = globalize(self.points)
             self._replicate = jax.jit(lambda t: t, out_shardings=rep)
 
         # Under frames sharding the ingest must keep the window's resting
@@ -667,10 +680,16 @@ class PhotometricBundleAdjustment:
         """Serialize the full device state (point table + window ring +
         frame counter) to one npz. ~tens of MB at KITTI scale — intended
         for periodic snapshots, not per-window writes."""
+        points, window = self.points, self.window
+        if self._multiproc:
+            # Sharded leaves are not addressable from one process; pull a
+            # replicated copy (identical on every rank — each rank writes
+            # the same snapshot bytes).
+            points, window = self._replicate((points, window))
         state = {}
-        for name, arr in self.points._asdict().items():
+        for name, arr in points._asdict().items():
             state[f"points.{name}"] = np.asarray(arr)
-        for name, arr in self.window._asdict().items():
+        for name, arr in window._asdict().items():
             state[f"window.{name}"] = np.asarray(arr)
         state["frame_count"] = np.asarray(self._frame_count)
         state["ingest_seq"] = np.asarray(self._ingest_seq)
@@ -689,6 +708,19 @@ class PhotometricBundleAdjustment:
             name: jnp.asarray(data[f"window.{name}"])
             for name in self.window._fields
             if f"window.{name}" in data.files})
+        if self._win_shardings is not None:
+            # Restore the frames-mesh resting placement (multiproc: each
+            # rank loads the identical snapshot and supplies its shards).
+            if self._multiproc:
+                place = lambda a, sh: jax.make_array_from_callback(
+                    np.shape(a), sh, lambda idx, _a=a: np.asarray(_a)[idx])
+                self.window = jax.tree.map(place, self.window,
+                                           self._win_shardings)
+                self.points = jax.tree.map(place, self.points,
+                                           self._pt_shardings)
+            else:
+                self.window = jax.device_put(self.window, self._win_shardings)
+                self.points = jax.device_put(self.points, self._pt_shardings)
         if "window.t_vo" not in data.files:   # pre-round-3 snapshot
             self.window = self.window._replace(t_vo=self.window.t_wc)
         self._frame_count = int(data["frame_count"])

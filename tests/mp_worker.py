@@ -104,8 +104,39 @@ def run_engine():
              poses=np.concatenate(poses, axis=0))
 
 
+def run_engine_frames():
+    """FULL engine on a ('frames'=2, 'points'=2) mesh SPANNING the two OS
+    processes — the window ring's image leaves live sharded across process
+    boundaries (host-side frame routing: every rank feeds identical
+    replicated inputs; the pinned ingest out_shardings route each slot to
+    its owning process; cross-process movement is XLA collective traffic)."""
+    from synthetic import make_sequence, perturb_poses
+    from photobundle_tpu.config import PBAConfig
+    from photobundle_tpu.core.engine import PhotometricBundleAdjustment
+
+    rng = np.random.default_rng(3)
+    cam, images, depths, poses_gt = make_sequence(rng, n_frames=6,
+                                                  shape=(48, 64))
+    noisy = perturb_poses(rng, poses_gt, trans_sigma=0.01, rot_sigma=0.002)
+    cfg = PBAConfig(maxNumPoints=256, maxPointsPerFrame=64,
+                    slidingWindowSize=4, maxIterations=8,
+                    meshFrames=2, meshPoints=n_proc,
+                    depthPriorWeight=0.1)
+    pba = PhotometricBundleAdjustment(cam, (48, 64), cfg)
+    assert pba.window.channels.sharding.spec[0] == "frames"
+    poses = []
+    for i in range(6):
+        r = pba.add_frame(images[i], depths[i], noisy[i], frame_id=i)
+        if r is not None:
+            poses.append(r.poses)
+    np.savez(os.path.join(outdir, f"rank{pid}.npz"),
+             poses=np.concatenate(poses, axis=0))
+
+
 if mode == "solve":
     run_solve()
+elif mode == "engine_frames":
+    run_engine_frames()
 else:
     run_engine()
 print(f"RANK {pid} DONE", flush=True)
