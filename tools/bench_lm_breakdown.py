@@ -29,7 +29,19 @@ R = 2
 K = 30
 
 
-def timeit(name, fn, *args):
+HBM_GBPS = 820.0  # v5e
+
+
+def tree_bytes(t) -> int:
+    return sum(a.size * a.dtype.itemsize
+               for a in jax.tree.leaves(t) if hasattr(a, "dtype"))
+
+
+def timeit(name, fn, *args, touched_bytes=None):
+    """touched_bytes: HBM bytes one call reads+writes (roofline floor at
+    HBM_GBPS). The VERDICT-4 attribution question is whether the large-N
+    slowdown tracks this floor (HBM-bound: fine) or diverges from it
+    (fusion/layout regression: fixable)."""
     jfn = jax.jit(fn)
     out = jfn(*args)
     _ = float(jnp.asarray(out).ravel()[0])
@@ -40,7 +52,12 @@ def timeit(name, fn, *args):
         _ = float(jnp.asarray(out).ravel()[0])
         times.append(time.perf_counter() - t0)
     t = (min(times) - 0.036) / K
-    print(f"{name:34s}: {t * 1e3:7.3f} ms/iter")
+    floor = ""
+    if touched_bytes is not None:
+        floor_ms = touched_bytes / (HBM_GBPS * 1e9) * 1e3
+        floor = (f"  [mem floor {floor_ms:6.3f} ms @ "
+                 f"{touched_bytes / 1e6:.1f} MB]")
+    print(f"{name:34s}: {t * 1e3:7.3f} ms/iter{floor}")
     return t
 
 
@@ -58,11 +75,14 @@ def main():
             return acc + res.cost
         return jax.lax.fori_loop(0, K, body, 0.0)
 
-    timeit("evaluate_compressed (pallas)", eval_k, x_world)
-
     res0 = evaluate_compressed(cam, t_wc, x_world, patch, channels, grads,
                                obs, offsets, 0.05, backend="pallas", ctx=ctx)
     res0 = jax.tree.map(jnp.asarray, res0)
+
+    n_obs = N * W * offsets.shape[0]
+    eval_bytes = tree_bytes(ctx) + tree_bytes((patch, obs)) + tree_bytes(res0)
+    timeit("evaluate_compressed (pallas)", eval_k, x_world,
+           touched_bytes=eval_bytes)
 
     def normal_eq_k(gtr0):
         def body(i, acc):
@@ -71,9 +91,9 @@ def main():
             return acc + eq.bc[0, 0]
         return jax.lax.fori_loop(0, K, body, 0.0)
 
-    timeit("build_normal_equations", normal_eq_k, res0.gtr)
-
     eq0 = schur.build_normal_equations_compressed(res0)
+    timeit("build_normal_equations", normal_eq_k, res0.gtr,
+           touched_bytes=tree_bytes(res0) + tree_bytes(eq0))
 
     def schur_k(bc0):
         def body(i, acc):
@@ -84,7 +104,8 @@ def main():
             return acc + dc[0, 0] + dp[0, 0]
         return jax.lax.fori_loop(0, K, body, 0.0)
 
-    timeit("schur reduce+solve", schur_k, eq0.bc)
+    timeit("schur reduce+solve", schur_k, eq0.bc,
+           touched_bytes=tree_bytes(eq0))
 
     def full_k(x0):
         def body(i, carry):
@@ -96,9 +117,14 @@ def main():
             return carry + s.final_cost
         return jax.lax.fori_loop(0, K, body, 0.0)
 
-    t_full = timeit("full LM iteration (1-iter solve)", full_k, x_world)
+    full_bytes = 2 * eval_bytes + tree_bytes(res0) + 2 * tree_bytes(eq0)
+    t_full = timeit("full LM iteration (1-iter solve)", full_k, x_world,
+                    touched_bytes=full_bytes)
     print(f"(full includes init eval + 1 body = 2 evals + eq + schur + "
           f"bookkeeping)")
+    print(f"obs = {n_obs / 1e6:.2f} M; full-iter throughput "
+          f"{n_obs / t_full / 1e6:7.1f} M obs/s "
+          f"(mem-floor {n_obs / (full_bytes / (HBM_GBPS * 1e9)) / 1e6:.1f})")
 
 
 if __name__ == "__main__":
