@@ -84,10 +84,17 @@ def main():
     timeit("evaluate_compressed (pallas)", eval_k, x_world,
            touched_bytes=eval_bytes)
 
+    import os
+    asm_backend = ("pallas"
+                   if os.environ.get("PB_FUSED_ASSEMBLY", "0") == "1"
+                   else "xla")
+    if asm_backend != "xla":
+        print(f"[assembly backend: {asm_backend} (PB_FUSED_ASSEMBLY)]")
+
     def normal_eq_k(gtr0):
         def body(i, acc):
             eq = schur.build_normal_equations_compressed(
-                res0._replace(gtr=gtr0 + 1e-6 * i))
+                res0._replace(gtr=gtr0 + 1e-6 * i), backend=asm_backend)
             return acc + eq.bc[0, 0]
         return jax.lax.fori_loop(0, K, body, 0.0)
 
