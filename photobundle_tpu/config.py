@@ -90,6 +90,12 @@ class PBAConfig:
     sigmaPriorToCensusTransform: float = 0.5   # BitPlanes pre-smoothing
     sigmaBitPlanes: float = 0.75               # BitPlanes channel smoothing
     normalizePatches: bool = True              # per-patch mean removal
+                                          # (reference's brightness
+                                          # normalization). False compares
+                                          # raw intensities — exposure
+                                          # changes then leak into the
+                                          # residual (see test_engine
+                                          # exposure-robustness test).
 
     # --- window / point lifecycle ---
     slidingWindowSize: int = 5

@@ -148,6 +148,7 @@ def lm_solve(
     huber_delta: float,
     gradient_mode: str = "sampled",
     backend: str = "xla",
+    normalize: bool = True,
     depth_prior: tuple | None = None,
     motion_prior_weight: float = 0.0,
     motion_prior_anchor: jax.Array | None = None,
@@ -204,7 +205,8 @@ def lm_solve(
         return evaluate_compressed(cam, slice_frames(t), x, patch, channels,
                                    grads, obs_mask, offsets, huber_delta,
                                    gradient_mode, depth_prior=depth_prior,
-                                   backend=backend, ctx=eval_ctx)
+                                   backend=backend, ctx=eval_ctx,
+                                   normalize=normalize)
 
     # Relative-pose motion prior (no reference counterpart): anchors each
     # consecutive window pair's relative pose to its initialization,

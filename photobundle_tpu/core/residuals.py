@@ -140,7 +140,8 @@ def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str):
 def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
              offsets, huber_delta: float, gradient_mode: str = "sampled",
              with_jacobians: bool = True,
-             depth_prior: tuple | None = None) -> Residuals:
+             depth_prior: tuple | None = None,
+             normalize: bool = True) -> Residuals:
     """Evaluate all (point, window-frame) photometric residuals at once.
 
     Args:
@@ -156,6 +157,11 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
       depth_prior: optional (ref_slot (N,) int32, inv_depth_seed (N,),
         weight float) — appends the inverse-depth prior pseudo-pixel on each
         point's reference-frame observation (see module docstring).
+      normalize: per-patch brightness normalization (cfg.normalizePatches,
+        the reference's per-patch mean removal). False compares raw
+        intensities; `patch` must then be raw (un-normalized) too. The
+        Jacobian centering is skipped in lockstep (d/dtheta of the patch
+        mean is the gradient mean).
 
     Returns Residuals with whitened r/J (zeros where invalid).
     """
@@ -169,11 +175,13 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
         s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode)
         valid = obs_f & in_front & in_bounds              # (N,)
-        s_centered = s - jnp.mean(s, axis=-1, keepdims=True)
-        r = (s_centered - patch).reshape(n, d)            # (N, D)
+        if normalize:
+            s = s - jnp.mean(s, axis=-1, keepdims=True)
+        r = (s - patch).reshape(n, d)                     # (N, D)
         if with_jacobians:
-            g_centered = (g - jnp.mean(g, axis=-2, keepdims=True)).reshape(n, d, 2)
-            j = g_centered @ a                            # (N, D, 9)
+            if normalize:
+                g = g - jnp.mean(g, axis=-2, keepdims=True)
+            j = g.reshape(n, d, 2) @ a                    # (N, D, 9)
         else:
             j = jnp.zeros((n, d, 9), r.dtype)
         if use_prior:
@@ -229,11 +237,11 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
 
 def cost_only(cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
               huber_delta: float, gradient_mode: str = "sampled",
-              depth_prior: tuple | None = None):
+              depth_prior: tuple | None = None, normalize: bool = True):
     """Robust cost without Jacobians — used for LM step acceptance."""
     res = evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                    offsets, huber_delta, gradient_mode, with_jacobians=False,
-                   depth_prior=depth_prior)
+                   depth_prior=depth_prior, normalize=normalize)
     return res.cost, res.n_residuals
 
 
@@ -312,7 +320,8 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
                                 depth_prior: tuple | None,
                                 interpret: bool,
                                 mode: str = "sampled",
-                                ctx=None) -> CompressedResiduals:
+                                ctx=None,
+                                normalize: bool = True) -> CompressedResiduals:
     """Kernel-backed path: ops/patch_warp samples (value, gx, gy) patches —
     the one op XLA gathers ruin — and the stat algebra (means, Grams,
     Huber) runs as dense XLA, identical to the gather path's math.
@@ -370,10 +379,13 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
     gx = jnp.transpose(gx, (1, 2, 3, 0))
     gy = jnp.transpose(gy, (1, 2, 3, 0))
     patch_t = jnp.transpose(patch, (1, 2, 0))              # (C, P, N)
-    s = s - jnp.mean(s, axis=2, keepdims=True)
+    if normalize:
+        s = s - jnp.mean(s, axis=2, keepdims=True)
+        gx = gx - jnp.mean(gx, axis=2, keepdims=True)
+        gy = gy - jnp.mean(gy, axis=2, keepdims=True)
     r = (s - patch_t[None]).reshape(w, -1, n)              # (W, D, N)
-    gx_c = (gx - jnp.mean(gx, axis=2, keepdims=True)).reshape(w, -1, n)
-    gy_c = (gy - jnp.mean(gy, axis=2, keepdims=True)).reshape(w, -1, n)
+    gx_c = gx.reshape(w, -1, n)
+    gy_c = gy.reshape(w, -1, n)
     g00 = jnp.sum(gx_c * gx_c, axis=1)                     # (W, N)
     g01 = jnp.sum(gx_c * gy_c, axis=1)
     g11 = jnp.sum(gy_c * gy_c, axis=1)
@@ -407,7 +419,8 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                         depth_prior: tuple | None = None,
                         backend: str = "xla",
                         interpret: bool = False,
-                        ctx=None) -> CompressedResiduals:
+                        ctx=None,
+                        normalize: bool = True) -> CompressedResiduals:
     """Like `evaluate` but returns the factored Gauss-Newton statistics.
 
     Produces bitwise-equivalent normal equations (see
@@ -428,7 +441,7 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
         return _evaluate_compressed_pallas(
             cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
             huber_delta, depth_prior, interpret, mode=gradient_mode,
-            ctx=ctx)
+            ctx=ctx, normalize=normalize)
     n, w = obs_mask.shape
     use_prior = depth_prior is not None and depth_prior[2] > 0.0
 
@@ -437,9 +450,11 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
         s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets,
                                           gradient_mode)
         valid = obs_f & in_front & in_bounds                  # (N,)
-        s_centered = s - jnp.mean(s, axis=-1, keepdims=True)
-        r = (s_centered - patch).reshape(n, -1)               # (N, D)
-        g_c = (g - jnp.mean(g, axis=-2, keepdims=True)).reshape(n, -1, 2)
+        if normalize:
+            s = s - jnp.mean(s, axis=-1, keepdims=True)
+            g = g - jnp.mean(g, axis=-2, keepdims=True)
+        r = (s - patch).reshape(n, -1)                        # (N, D)
+        g_c = g.reshape(n, -1, 2)
         gtg = jnp.einsum("ndi,ndj->nij", g_c, g_c)            # (N, 2, 2)
         gtr = jnp.einsum("ndi,nd->ni", g_c, r)                # (N, 2)
         r_norm2 = jnp.sum(r * r, axis=-1)                     # (N,)

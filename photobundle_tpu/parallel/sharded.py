@@ -177,6 +177,7 @@ def make_frames_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
                                huber_delta: float,
                                gradient_mode: str = "sampled",
                                backend: str = "xla",
+                               normalize: bool = True,
                                depth_prior_weight: float = 0.0,
                                motion_prior_weight: float = 0.0,
                                max_iterations: int = 50,
@@ -216,7 +217,7 @@ def make_frames_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
             cam, t_wc, x_world, patch, channels, grads, obs_mask,
             point_valid, frozen, offsets,
             huber_delta=huber_delta, gradient_mode=gradient_mode,
-            backend=backend, depth_prior=depth_prior,
+            backend=backend, normalize=normalize, depth_prior=depth_prior,
             motion_prior_weight=motion_prior_weight,
             max_iterations=max_iterations,
             function_tolerance=function_tolerance,
@@ -249,6 +250,7 @@ class ShardedLMSolver:
     def __init__(self, mesh: Mesh, cam: Camera, offsets: jax.Array, *,
                  n_points: int, huber_delta: float,
                  gradient_mode: str = "sampled", backend: str = "xla",
+                 normalize: bool = True,
                  max_iterations: int = 50,
                  initial_lambda: float = 1e-4, function_tolerance: float = 1e-6,
                  parameter_tolerance: float = 1e-8):
@@ -265,7 +267,7 @@ class ShardedLMSolver:
                 cam, t_wc, x_world, patch, channels, grads, obs_mask,
                 point_valid, frozen, offsets,
                 huber_delta=huber_delta, gradient_mode=gradient_mode,
-                backend=backend,
+                backend=backend, normalize=normalize,
                 max_iterations=max_iterations, initial_lambda=initial_lambda,
                 function_tolerance=function_tolerance,
                 parameter_tolerance=parameter_tolerance,

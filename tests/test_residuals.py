@@ -210,3 +210,82 @@ def test_gauge_invariance_of_cost(rng):
                             huber_delta=0.05)
     np.testing.assert_allclose(float(out1.cost), float(out0.cost), rtol=2e-3)
     assert int(out1.n_residuals) == int(out0.n_residuals)
+
+
+def test_brightness_invariance_with_normalization(rng):
+    """Per-frame constant exposure bias is EXACTLY removed by the per-patch
+    mean normalization (cfg.normalizePatches, the reference's brightness
+    normalization: pb:src/photobundle.cc DescriptorFrame): residuals and
+    Jacobians are unchanged when every window image gains a different
+    constant offset. Without normalization the bias leaks into the
+    residual."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng)
+    bias = jnp.asarray(
+        rng.uniform(0.05, 0.25, size=(ch.shape[0],)).astype(np.float32))
+    ch_b = ch + bias[:, None, None, None]
+    # Central-difference gradients of (I + c) equal those of I: reuse g.
+    kw = dict(huber_delta=0.05, gradient_mode="sampled")
+    r0 = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off, **kw)
+    r1 = res_mod.evaluate(cam, t_wc, x, patch, ch_b, g, obs, off, **kw)
+    np.testing.assert_allclose(np.asarray(r1.r), np.asarray(r0.r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1.j_pose), np.asarray(r0.j_pose),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(r1.cost), float(r0.cost), rtol=1e-5)
+
+    # Sanity: with normalize=False the same bias shifts the (unwhitened)
+    # residuals by ~the bias itself — the exposure leaks into the cost.
+    # huber_delta=1e9 disables the IRLS whitening that would otherwise
+    # shrink the shift (w ~ delta/||r||).
+    u0 = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                          huber_delta=1e9, normalize=False)
+    u1 = res_mod.evaluate(cam, t_wc, x, patch, ch_b, g, obs, off,
+                          huber_delta=1e9, normalize=False)
+    dmax = float(np.abs(np.asarray(u1.r) - np.asarray(u0.r)).max())
+    assert dmax > 0.5 * float(bias.min()), (dmax, float(bias.min()))
+
+
+def test_unnormalized_jacobians_match_autodiff(rng):
+    """normalize=False skips the gradient centering in lockstep with the
+    sample centering — the analytic J must still equal autodiff of the
+    (unnormalized) residual."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=5)
+    kw = dict(huber_delta=1e9, gradient_mode="exact", normalize=False)
+    out = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off, **kw)
+
+    def residual_fn(xi_all, x_all):
+        t = se3.retract_right(t_wc, xi_all)
+        r = res_mod.evaluate(cam, t, x_all, patch, ch, g, obs, off,
+                             with_jacobians=False, **kw)
+        return r.r
+
+    w = t_wc.shape[0]
+    xi0 = jnp.zeros((w, 6))
+    j_pose_auto = jax.jacfwd(residual_fn, argnums=0)(xi0, x)
+    jp_auto = np.stack(
+        [np.asarray(j_pose_auto[:, f, :, f, :]) for f in range(w)], 1)
+    np.testing.assert_allclose(np.asarray(out.j_pose), jp_auto,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_unnormalized_compressed_matches_full(rng):
+    """Compressed (XLA and pallas-interpret) statistics honor
+    normalize=False identically to the full oracle."""
+    from photobundle_tpu.core import schur
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=7)
+    kw = dict(huber_delta=0.05, gradient_mode="sampled", normalize=False)
+    full = res_mod.evaluate(cam, t_wc, x + 0.01, patch, ch, g, obs, off, **kw)
+    eq_b = schur.build_normal_equations(full)
+    for backend, extra in (("xla", {}), ("pallas", {"interpret": True})):
+        comp = res_mod.evaluate_compressed(cam, t_wc, x + 0.01, patch, ch, g,
+                                           obs, off, backend=backend,
+                                           **extra, **kw)
+        np.testing.assert_allclose(float(comp.cost), float(full.cost),
+                                   rtol=1e-5, err_msg=backend)
+        eq_a = schur.to_point_major(
+            schur.build_normal_equations_compressed(comp))
+        for name in ("hpp", "hpc", "hcc", "bp", "bc"):
+            np.testing.assert_allclose(np.asarray(getattr(eq_a, name)),
+                                       np.asarray(getattr(eq_b, name)),
+                                       atol=2e-3, rtol=1e-4,
+                                       err_msg=f"{backend}:{name}")

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from photobundle_tpu.core import residuals as res_mod
 from photobundle_tpu.core import schur
@@ -207,3 +208,25 @@ def test_fused_assembly_kernel_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(getattr(fb, name)),
                                    np.asarray(getattr(rf, name)),
                                    err_msg=name)
+
+
+@pytest.mark.parametrize("w,n", [(5, 8192), (7, 384), (2, 128)])
+def test_fused_assembly_kernel_shapes(rng, w, n):
+    """Fused assembly across the shape envelope the engine can emit:
+    multi-chunk grids (N=8192 at W=5 -> 2 lane chunks), odd window sizes,
+    and the minimal W=2 window — pinned against the XLA form before the
+    live-Mosaic default flip (tools/tpu_session_r3.sh fa_* steps)."""
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    res = res_mod.CompressedResiduals(
+        a=mk(w, 2, 9, n), gtg=mk(w, 2, 2, n), gtr=mk(w, 2, n),
+        jp=mk(w, 9, n), rp=mk(w, n),
+        valid=jnp.ones((n, w), bool), cost=jnp.float32(0.0),
+        n_residuals=jnp.int32(n * w))
+    ref = schur.build_normal_equations_compressed(res)
+    out = schur.build_normal_equations_compressed(res, backend="pallas",
+                                                  interpret=True)
+    for name in ref._fields:
+        np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   atol=2e-4, rtol=1e-5,
+                                   err_msg=f"W={w} N={n} {name}")
