@@ -586,3 +586,30 @@ def test_engine_exposure_invariance(scene):
     ate_raw = traj_mod.ate_rmse(ref_raw, gt, align=False)
     assert ate_norm < 0.65 * ate_init, (ate_init, ate_norm)
     assert ate_raw > ate_norm, (ate_raw, ate_norm)
+
+
+def test_engine_bitplanes_gain_robustness(scene):
+    """Per-frame multiplicative exposure (gain flicker) defeats the mean
+    normalization (it removes additive offsets only, so intensity residuals
+    scale with the gain mismatch) but NOT the BitPlanes census channels,
+    which depend on local intensity ORDER (test_image_ops pins the
+    channel-level invariance): the BitPlanes engine must still refine a
+    jittered trajectory on gain-flickering video."""
+    cam, images, depths, poses_gt = scene
+    rng = np.random.default_rng(7)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.03, rot_sigma=0.003,
+                         keep_first=2)
+    gains = rng.uniform(0.7, 1.3, size=len(images)).astype(np.float32)
+    images_g = [img * g for img, g in zip(images, gains)]
+    scene_g = (cam, images_g, depths, poses_gt)
+
+    cfg = small_cfg(descriptor="BitPlanes", maxIterations=20)
+    refined, results, _ = run_engine(scene_g, cfg, init)
+    assert results, "no window solves ran"
+    gt = traj_mod.Trajectory(poses_gt.astype(np.float64))
+    a_init = traj_mod.ate_rmse(traj_mod.Trajectory(init.astype(np.float64)),
+                               gt, align=False)
+    a_ref = traj_mod.ate_rmse(refined, gt, align=False)
+    assert a_ref < 0.8 * a_init, (a_init, a_ref)
+    for r in results:
+        assert r.final_cost <= r.initial_cost + 1e-9
