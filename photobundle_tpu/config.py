@@ -257,6 +257,15 @@ class PBAConfig:
                                           # smaller than this (0 = off)
     speckleRange: float = 1.0             # disparity similarity within a
                                           # component
+    preFilterCap: float = 0.0             # X-Sobel prefilter clamp before
+                                          # matching (cv::StereoBM
+                                          # PREFILTER_XSOBEL; its 8-bit
+                                          # default cap=31 is ~0.12 in the
+                                          # [0,1] scale here). Makes the
+                                          # matcher robust to left/right
+                                          # illumination differences.
+                                          # 0 = off (raw-intensity SAD,
+                                          # the historical default).
 
     # --- TPU-native additions (no reference counterpart) ---
     dtype: str = "float32"

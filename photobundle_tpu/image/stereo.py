@@ -33,6 +33,20 @@ def _box_filter(img: jax.Array, radius: int) -> jax.Array:
     return cs[..., k:, :] - cs[..., :-k, :]
 
 
+def prefilter_xsobel(img: jax.Array, cap: float) -> jax.Array:
+    """cv::StereoBM PREFILTER_XSOBEL analog (the reference's dataset layer
+    runs cv::StereoBM, whose default prefilter is exactly this): horizontal
+    3x3 Sobel response, clamped to [-cap, cap]. Removes low-frequency
+    illumination/exposure differences between the two views so SAD matches
+    structure, not absolute brightness. `cap` is in image units (images
+    here are [0, 1]; OpenCV's 8-bit default preFilterCap=31 corresponds to
+    ~0.12)."""
+    p = jnp.pad(img, 1, mode="edge")
+    gx = ((p[:-2, 2:] + 2.0 * p[1:-1, 2:] + p[2:, 2:])
+          - (p[:-2, :-2] + 2.0 * p[1:-1, :-2] + p[2:, :-2]))
+    return jnp.clip(gx, -cap, cap)
+
+
 def _lr_consistency(cost: jax.Array, best_l: jax.Array, min_disparity: int,
                     max_diff: float = 1.0) -> jax.Array:
     """Left-right consistency gate from ONE cost volume.
@@ -62,7 +76,8 @@ def _lr_consistency(cost: jax.Array, best_l: jax.Array, min_disparity: int,
 
 
 @functools.partial(jax.jit, static_argnames=("num_disparities", "min_disparity",
-                                             "sad_radius", "lr_check"))
+                                             "sad_radius", "lr_check",
+                                             "prefilter_cap"))
 def block_match(
     left: jax.Array,
     right: jax.Array,
@@ -72,12 +87,20 @@ def block_match(
     uniqueness_ratio: float = 0.97,
     texture_threshold: float = 0.02,
     lr_check: bool = True,
+    prefilter_cap: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """SAD block matching. left/right: (H, W) in [0, 1].
+
+    prefilter_cap > 0 enables the X-Sobel prefilter (see prefilter_xsobel);
+    matching AND the texture gate then run on the filtered response, so
+    texture_threshold is in gradient units rather than intensity units.
 
     Returns (disparity (H, W) float32 with sub-pixel refinement,
              valid (H, W) bool).
     """
+    if prefilter_cap > 0.0:
+        left = prefilter_xsobel(left, prefilter_cap)
+        right = prefilter_xsobel(right, prefilter_cap)
     h, w = left.shape
     disps = jnp.arange(min_disparity, min_disparity + num_disparities)
 
@@ -158,7 +181,8 @@ def _aggregate_dir_h(cost: jax.Array, p1: float, p2: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_disparities", "min_disparity", "sad_radius", "lr_check"))
+    "num_disparities", "min_disparity", "sad_radius", "lr_check",
+    "prefilter_cap"))
 def semi_global_match(
     left: jax.Array,
     right: jax.Array,
@@ -170,6 +194,7 @@ def semi_global_match(
     uniqueness_ratio: float = 0.97,
     texture_threshold: float = 0.02,
     lr_check: bool = True,
+    prefilter_cap: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Semi-global matching — the reference's cv::StereoSGBM counterpart.
 
@@ -181,7 +206,12 @@ def semi_global_match(
     block_match. Each direction is one `lax.scan` whose carry is a full
     scanline's (pixels, D) cost slice — compiler-friendly control flow, no
     data-dependent shapes.
+
+    prefilter_cap > 0 enables the X-Sobel prefilter (see prefilter_xsobel).
     """
+    if prefilter_cap > 0.0:
+        left = prefilter_xsobel(left, prefilter_cap)
+        right = prefilter_xsobel(right, prefilter_cap)
     h, w = left.shape
     disps = jnp.arange(min_disparity, min_disparity + num_disparities)
 

@@ -140,6 +140,9 @@ class KittiStereoDataset:
                 f"{float(self.camera.fx):.6g}",
                 f"{float(self.camera.baseline):.6g}",
                 "native" if native_producer else "jax", ident))
+            # Appended only when on so pre-existing cache keys stay valid.
+            if cfg.preFilterCap > 0:
+                key += f"_pfc{cfg.preFilterCap}"
             self._cache_dir = os.path.join(
                 self.cfg.depthCacheDir, f"seq{self.sequence:02d}_{key}")
             os.makedirs(self._cache_dir, exist_ok=True)
@@ -165,7 +168,8 @@ class KittiStereoDataset:
                     prefetch_ahead=4,
                     algorithm=self.cfg.stereoAlgorithm.upper(),
                     speckle_size=self.cfg.speckleWindowSize,
-                    speckle_range=self.cfg.speckleRange)
+                    speckle_range=self.cfg.speckleRange,
+                    prefilter_cap=self.cfg.preFilterCap)
             elif mode == "native":
                 from .. import native as _n
 
@@ -198,6 +202,7 @@ class KittiStereoDataset:
                 num_disparities=cfg.numDisparities,
                 min_disparity=cfg.minDisparity,
                 sad_radius=cfg.sadWindowSize // 2,
+                prefilter_cap=cfg.preFilterCap,
             )
             disp = np.asarray(jax.device_get(disp))
             valid = np.asarray(jax.device_get(valid))

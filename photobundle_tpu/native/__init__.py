@@ -64,13 +64,17 @@ def _load():
             ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8)]
         lib.pb_block_match.restype = ctypes.c_int
+        lib.pb_prefilter_xsobel.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_float]
+        lib.pb_prefilter_xsobel.restype = ctypes.c_int
         lib.pb_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
             ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_float,
-            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
-            ctypes.c_int]
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int]
         lib.pb_speckle_filter.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int]
@@ -130,15 +134,32 @@ def imread_gray(path: str) -> np.ndarray:
     return out
 
 
+def prefilter_xsobel(img: np.ndarray, cap: float) -> np.ndarray:
+    """cv::StereoBM PREFILTER_XSOBEL analog; same kernel as
+    image/stereo.prefilter_xsobel."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.float32)
+    h, w = img.shape
+    out = np.empty((h, w), np.float32)
+    rc = lib.pb_prefilter_xsobel(_fptr(img), _fptr(out), h, w, cap)
+    if rc:
+        raise RuntimeError(f"pb_prefilter_xsobel -> {rc}")
+    return out
+
+
 def semi_global_match(left: np.ndarray, right: np.ndarray, *,
                       num_disparities: int = 64, min_disparity: int = 1,
                       sad_radius: int = 2, p1: float = 0.03, p2: float = 0.4,
                       uniqueness_ratio: float = 0.97,
-                      texture_threshold: float = 0.02):
+                      texture_threshold: float = 0.02,
+                      prefilter_cap: float = 0.0):
     """OpenMP 4-path SGM; same semantics as image/stereo.semi_global_match."""
     lib = _load()
     left = np.ascontiguousarray(left, np.float32)
     right = np.ascontiguousarray(right, np.float32)
+    if prefilter_cap > 0.0:
+        left = prefilter_xsobel(left, prefilter_cap)
+        right = prefilter_xsobel(right, prefilter_cap)
     h, w = left.shape
     disp = np.empty((h, w), np.float32)
     valid = np.empty((h, w), np.uint8)
@@ -211,11 +232,15 @@ def speckle_filter_numpy(disp: np.ndarray, valid: np.ndarray, *,
 def block_match(left: np.ndarray, right: np.ndarray, *,
                 num_disparities: int = 64, min_disparity: int = 1,
                 sad_radius: int = 4, uniqueness_ratio: float = 0.97,
-                texture_threshold: float = 0.02):
+                texture_threshold: float = 0.02,
+                prefilter_cap: float = 0.0):
     """OpenMP SAD block matcher; same semantics as image/stereo.block_match."""
     lib = _load()
     left = np.ascontiguousarray(left, np.float32)
     right = np.ascontiguousarray(right, np.float32)
+    if prefilter_cap > 0.0:
+        left = prefilter_xsobel(left, prefilter_cap)
+        right = prefilter_xsobel(right, prefilter_cap)
     h, w = left.shape
     disp = np.empty((h, w), np.float32)
     valid = np.empty((h, w), np.uint8)
@@ -242,7 +267,8 @@ class PrefetchingLoader:
                  fx: float, baseline: float, min_depth: float,
                  max_depth: float, n_threads: int = 2,
                  prefetch_ahead: int = 4, algorithm: str = "BM",
-                 speckle_size: int = 0, speckle_range: float = 1.0):
+                 speckle_size: int = 0, speckle_range: float = 1.0,
+                 prefilter_cap: float = 0.0):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native loader unavailable: {_build_error}")
@@ -258,8 +284,8 @@ class PrefetchingLoader:
         self._handle = lib.pb_loader_create(
             self._lbuf, self._rbuf, self._n, h, w, num_disparities,
             min_disparity, sad_radius, algo, uniqueness_ratio,
-            texture_threshold, speckle_size, speckle_range, fx, baseline,
-            min_depth, max_depth, n_threads, prefetch_ahead)
+            texture_threshold, speckle_size, speckle_range, prefilter_cap,
+            fx, baseline, min_depth, max_depth, n_threads, prefetch_ahead)
         self._lib = lib
 
     def __len__(self):

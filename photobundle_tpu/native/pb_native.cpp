@@ -186,6 +186,30 @@ void right_best(const float* cost, int y, int w, int D, int min_disp,
 
 }  // namespace
 
+// cv::StereoBM PREFILTER_XSOBEL analog — matches
+// image/stereo.py::prefilter_xsobel (same 3x3 kernel, edge-clamped
+// padding, clamp to [-cap, cap]).
+int pb_prefilter_xsobel(const float* src, float* dst, int h, int w,
+                        float cap) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int y = 0; y < h; ++y) {
+    const int ym = std::max(y - 1, 0), yp = std::min(y + 1, h - 1);
+    const float* r0 = src + static_cast<size_t>(ym) * w;
+    const float* r1 = src + static_cast<size_t>(y) * w;
+    const float* r2 = src + static_cast<size_t>(yp) * w;
+    float* d = dst + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) {
+      const int xm = std::max(x - 1, 0), xp = std::min(x + 1, w - 1);
+      const float gx = (r0[xp] + 2.0f * r1[xp] + r2[xp]) -
+                       (r0[xm] + 2.0f * r1[xm] + r2[xm]);
+      d[x] = std::clamp(gx, -cap, cap);
+    }
+  }
+  return 0;
+}
+
 // disparity/valid: (h, w) outputs. Matches stereo.py block_match.
 int pb_block_match(const float* left, const float* right, int h, int w,
                    int num_disparities, int min_disparity, int sad_radius,
@@ -511,6 +535,7 @@ struct Loader {
   float uniq, texture;
   int speckle_size = 0;
   float speckle_range = 1.0f;
+  float prefilter_cap = 0.0f;
   float fx, baseline, min_depth, max_depth;
   int ahead;
 
@@ -556,12 +581,25 @@ struct Loader {
     if (f.status) return f;
     std::vector<float> disp(plane);
     std::vector<uint8_t> dvalid(plane);
+    // The matcher sees the (optionally prefiltered) pair; the engine
+    // always gets the raw image in f.image.
+    const float* ml = f.image.data();
+    const float* mr = rimg.data();
+    std::vector<float> lfil, rfil;
+    if (prefilter_cap > 0.0f) {
+      lfil.resize(plane);
+      rfil.resize(plane);
+      pb_prefilter_xsobel(f.image.data(), lfil.data(), h, w, prefilter_cap);
+      pb_prefilter_xsobel(rimg.data(), rfil.data(), h, w, prefilter_cap);
+      ml = lfil.data();
+      mr = rfil.data();
+    }
     if (algorithm == 1) {
-      pb_sgbm(f.image.data(), rimg.data(), h, w, num_disp, min_disp,
+      pb_sgbm(ml, mr, h, w, num_disp, min_disp,
               sad_radius, 0.03f, 0.4f, uniq, texture, disp.data(),
               dvalid.data());
     } else {
-      pb_block_match(f.image.data(), rimg.data(), h, w, num_disp, min_disp,
+      pb_block_match(ml, mr, h, w, num_disp, min_disp,
                      sad_radius, uniq, texture, disp.data(), dvalid.data());
     }
     if (speckle_size > 0)
@@ -588,9 +626,9 @@ void* pb_loader_create(const char** left_paths, const char** right_paths,
                        int n_frames, int h, int w, int num_disp, int min_disp,
                        int sad_radius, int algorithm, float uniqueness_ratio,
                        float texture_threshold, int speckle_size,
-                       float speckle_range, float fx, float baseline,
-                       float min_depth, float max_depth, int n_threads,
-                       int prefetch_ahead) {
+                       float speckle_range, float prefilter_cap, float fx,
+                       float baseline, float min_depth, float max_depth,
+                       int n_threads, int prefetch_ahead) {
   auto* L = new Loader();
   L->left.assign(left_paths, left_paths + n_frames);
   L->right.assign(right_paths, right_paths + n_frames);
@@ -603,6 +641,7 @@ void* pb_loader_create(const char** left_paths, const char** right_paths,
   L->uniq = uniqueness_ratio;
   L->speckle_size = speckle_size;
   L->speckle_range = speckle_range;
+  L->prefilter_cap = prefilter_cap;
   L->texture = texture_threshold;
   L->fx = fx;
   L->baseline = baseline;

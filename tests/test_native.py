@@ -184,3 +184,54 @@ def test_speckle_filter_numpy_matches_native(rng):
                                            min_region=20)
     np.testing.assert_array_equal(v_c, v_p)
     np.testing.assert_array_equal(d_c, d_p)
+
+
+def test_native_prefilter_and_bm_match_jax(rng):
+    """pb_prefilter_xsobel == image/stereo.prefilter_xsobel, and the
+    prefiltered native BM stays pinned to the prefiltered JAX BM."""
+    import jax.numpy as jnp
+
+    from photobundle_tpu.image import stereo as stereo_jax
+
+    left, right = _stereo_pair(rng)
+    f_c = native.prefilter_xsobel(left, 0.12)
+    f_j = np.asarray(stereo_jax.prefilter_xsobel(jnp.asarray(left), 0.12))
+    np.testing.assert_allclose(f_c, f_j, atol=1e-6)
+
+    kw = dict(num_disparities=24, min_disparity=1, sad_radius=3,
+              prefilter_cap=0.12)
+    d_c, v_c = native.block_match(left, right, **kw)
+    d_j, v_j = stereo_jax.block_match(left, right, **kw)
+    d_j, v_j = np.asarray(d_j), np.asarray(v_j)
+    agree = (v_c == v_j)
+    assert agree.mean() > 0.995, f"validity agreement {agree.mean()}"
+    both = v_c & v_j
+    assert both.sum() > 0.2 * both.size
+    np.testing.assert_allclose(d_c[both], d_j[both], atol=5e-3)
+
+
+def test_prefetching_loader_prefilter(tmp_path, rng):
+    """The loader's in-pipeline X-Sobel prefilter: matching runs on the
+    filtered pair (depth recovered despite a right-view illumination
+    mismatch) while the returned image stays the RAW left frame."""
+    h, w = 48, 80
+    L, R = _stereo_pair(rng, h, w, disp=6.0)
+    R = np.clip(0.7 * R + 0.2, 0.0, 1.0).astype(np.float32)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    _write_png(lp, np.clip(L * 255, 0, 255).astype(np.uint8))
+    _write_png(rp, np.clip(R * 255, 0, 255).astype(np.uint8))
+    loader = native.PrefetchingLoader(
+        [lp], [rp], num_disparities=16, min_disparity=1, sad_radius=3,
+        uniqueness_ratio=0.97, texture_threshold=0.02, fx=100.0, baseline=0.5,
+        min_depth=0.5, max_depth=100.0, n_threads=1, prefetch_ahead=1,
+        prefilter_cap=0.12)
+    img, depth, ok = loader.get(0)
+    loader.close()
+    # Raw image out (8-bit roundtrip, matching the uint8 write above),
+    # not the Sobel response.
+    expected_img = np.clip(L * 255, 0, 255).astype(np.uint8).astype(
+        np.float32) * (1.0 / 255.0)
+    np.testing.assert_allclose(img, expected_img, atol=1e-6)
+    assert ok.mean() > 0.3, ok.mean()
+    expected = 50.0 / 6.0
+    assert abs(np.median(depth[ok]) - expected) / expected < 0.2

@@ -99,3 +99,34 @@ class TestSGBM:
         err_bm = np.abs(d_bm[v_bm] - 6.0).mean() if v_bm.any() else np.inf
         err_sg = np.abs(d_sg[v_sg] - 6.0).mean() if v_sg.any() else np.inf
         assert err_sg <= err_bm + 0.05, (err_sg, err_bm)
+
+
+def test_block_match_prefilter_illumination_robust(rng):
+    """X-Sobel prefilter (cv::StereoBM PREFILTER_XSOBEL, the reference's
+    dataset-layer default): a gain+bias difference between the two views
+    collapses raw-intensity SAD matching, while the prefiltered matcher
+    recovers the disparity field."""
+    d_true = 6
+    left, right = shifted_pair(rng, d=d_true)
+    right_il = np.clip(0.7 * right + 0.2, 0.0, 1.0).astype(np.float32)
+    kw = dict(num_disparities=16, min_disparity=1, sad_radius=3)
+
+    disp_pf, valid_pf = stereo.block_match(
+        jnp.asarray(left), jnp.asarray(right_il), prefilter_cap=0.12, **kw)
+    disp_pf, valid_pf = np.asarray(disp_pf), np.asarray(valid_pf)
+    assert valid_pf.mean() > 0.4, valid_pf.mean()
+    err_pf = np.abs(disp_pf[valid_pf] - d_true)
+    assert np.median(err_pf) < 0.5
+    good_pf = (err_pf < 1.0).mean()
+    assert good_pf > 0.85, good_pf
+
+    disp_raw, valid_raw = stereo.block_match(
+        jnp.asarray(left), jnp.asarray(right_il), **kw)
+    disp_raw, valid_raw = np.asarray(disp_raw), np.asarray(valid_raw)
+    good_raw = ((np.abs(disp_raw[valid_raw] - d_true) < 1.0).mean()
+                if valid_raw.any() else 0.0)
+    # Raw SAD under a 0.7x gain + 0.2 bias mismatch must be clearly worse
+    # on accuracy x coverage (the illumination difference IS the signal it
+    # matches on).
+    assert good_pf * valid_pf.mean() > 2.0 * good_raw * valid_raw.mean(), (
+        good_pf, valid_pf.mean(), good_raw, valid_raw.mean())

@@ -38,7 +38,10 @@ from photobundle_tpu import cli as cli_mod
 
 REFERENCE_EXACT = dict(
     slidingWindowSize=5, numFixedPoses=1, depthPriorWeight=0.0,
-    motionPriorWeight=0.0, maxPoseCorrection=0.0, interpolation="bicubic")
+    motionPriorWeight=0.0, maxPoseCorrection=0.0, interpolation="bicubic",
+    # cv::StereoBM's default X-Sobel prefilter (8-bit cap 31 ~ 0.12); the
+    # framework default is 0 (raw SAD), so parity rows set it explicitly.
+    preFilterCap=0.12)
 
 CONFIGS = {
     # The Ceres-parity stack (configs/reference_exact.cfg): every
