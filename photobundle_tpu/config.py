@@ -376,6 +376,8 @@ class PBAConfig:
             raise ValueError(f"unknown solverBackend '{self.solverBackend}'")
         if self.dataLoader not in ("auto", "native", "python"):
             raise ValueError(f"unknown dataLoader '{self.dataLoader}'")
+        if self.preFilterCap < 0:
+            raise ValueError("preFilterCap must be >= 0 (0 = off)")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         if self.meshFrames > 1:
