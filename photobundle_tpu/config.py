@@ -167,7 +167,21 @@ class PBAConfig:
     gradientTolerance: float = 0.0        # stop when ||J^T r||_2 <= this
                                           # (0 = disabled; Ceres uses a
                                           # max-norm variant)
-    robustThreshold: float = 0.05         # Huber delta on patch residual norm
+    robustThreshold: float = 0.05         # robust-loss delta on the patch
+                                          # residual norm (Huber delta in the
+                                          # reference: ceres::HuberLoss)
+    robustLoss: str = "huber"             # robust loss family applied to the
+                                          # per-observation squared residual
+                                          # norm: huber (reference-exact,
+                                          # ceres::HuberLoss) | cauchy |
+                                          # tukey (hard redescending — gross
+                                          # outliers get zero weight; useful
+                                          # on occlusion/specular-heavy
+                                          # scenes) | none (plain least
+                                          # squares, ceres::TrivialLoss).
+                                          # Same delta semantics across
+                                          # kinds (see core/residuals.py
+                                          # robust_weight).
     depthPriorWeight: float = 0.1         # inverse-depth prior strength on
                                           # r = w*fx*b*(1/z - 1/z_seed)
                                           # (disparity-pixel units): anchors
@@ -378,6 +392,8 @@ class PBAConfig:
             raise ValueError(f"unknown dataLoader '{self.dataLoader}'")
         if self.preFilterCap < 0:
             raise ValueError("preFilterCap must be >= 0 (0 = off)")
+        if self.robustLoss not in ("huber", "cauchy", "tukey", "none"):
+            raise ValueError(f"unknown robustLoss '{self.robustLoss}'")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         if self.meshFrames > 1:

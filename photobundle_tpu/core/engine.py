@@ -336,6 +336,7 @@ class PhotometricBundleAdjustment:
                 cam, t_wc0, x_world0, patch, channels, grads, slice_obs(obs),
                 pv, frz, self.offsets,
                 huber_delta=cfg.robustThreshold,
+                robust_kind=cfg.robustLoss,
                 gradient_mode=cfg.resolve_gradient_mode(),
                 backend=cfg.resolve_backend(),
                 normalize=cfg.normalizePatches,
@@ -458,7 +459,8 @@ class PhotometricBundleAdjustment:
                           self.offsets, cfg.robustThreshold,
                           _gmode, depth_prior=dp,
                           backend=_backend, ctx=_ctx,
-                          normalize=cfg.normalizePatches)
+                          normalize=cfg.normalizePatches,
+                          robust_kind=cfg.robustLoss)
                 c = res.cost
                 if shard_ctx is not None:
                     c = shard_ctx.reduce_obs(c)

@@ -146,6 +146,7 @@ def lm_solve(
     offsets: jax.Array,       # (P, 2)
     *,
     huber_delta: float,
+    robust_kind: str = "huber",
     gradient_mode: str = "sampled",
     backend: str = "xla",
     normalize: bool = True,
@@ -206,7 +207,8 @@ def lm_solve(
                                    grads, obs_mask, offsets, huber_delta,
                                    gradient_mode, depth_prior=depth_prior,
                                    backend=backend, ctx=eval_ctx,
-                                   normalize=normalize)
+                                   normalize=normalize,
+                                   robust_kind=robust_kind)
 
     # Relative-pose motion prior (no reference counterpart): anchors each
     # consecutive window pair's relative pose to its initialization,

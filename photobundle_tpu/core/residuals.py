@@ -70,16 +70,45 @@ class Residuals(NamedTuple):
     n_residuals: jax.Array  # () number of valid observations
 
 
-def _huber_weight(r_norm2: jax.Array, delta: float):
-    """IRLS weight w = rho'(s) for Huber rho; and rho(s) itself.
+ROBUST_KINDS = ("huber", "cauchy", "tukey", "none")
 
-    rho(s) = s                      if s <= delta^2
-           = 2 delta sqrt(s) - delta^2   otherwise
+
+def robust_weight(r_norm2: jax.Array, delta: float, kind: str = "huber"):
+    """IRLS weight w = rho'(s) and loss rho(s) on s = ||r||^2.
+
+    Ceres loss-function conventions (reference: photobundle passes
+    ceres::HuberLoss(robustThreshold); the others are the standard Ceres
+    family, offered because photometric outliers — occlusions, specular
+    highlights — are heavier-tailed than Huber's linear tail assumes):
+
+      huber:  rho = s                        if s <= delta^2
+                    2 delta sqrt(s) - delta^2     otherwise      (Ceres HuberLoss)
+      cauchy: rho = delta^2 log(1 + s/delta^2)                   (Ceres CauchyLoss)
+      tukey:  rho = delta^2/3 (1 - (1 - s/delta^2)^3) capped at
+                    delta^2/3 for s > delta^2 — gross outliers get
+                    EXACTLY zero weight                          (Ceres TukeyLoss)
+      none:   rho = s (plain least squares)                      (Ceres TrivialLoss)
+
+    All satisfy rho(s) ~ s for small s, so `delta` keeps one meaning across
+    kinds: the per-observation residual norm where downweighting starts.
+    The solver whitens by sqrt(w) (first-order IRLS, Triggs et al.), so only
+    w = rho'(s) and rho are needed — no second-order loss corrections.
     """
-    rn = jnp.sqrt(jnp.maximum(r_norm2, 1e-20))
-    w = jnp.minimum(1.0, delta / rn)
-    rho = jnp.where(rn <= delta, r_norm2, 2.0 * delta * rn - delta * delta)
-    return w, rho
+    if kind == "none":
+        return jnp.ones_like(r_norm2), r_norm2
+    b = delta * delta
+    if kind == "huber":
+        rn = jnp.sqrt(jnp.maximum(r_norm2, 1e-20))
+        w = jnp.minimum(1.0, delta / rn)
+        rho = jnp.where(rn <= delta, r_norm2, 2.0 * delta * rn - b)
+        return w, rho
+    if kind == "cauchy":
+        u = r_norm2 / b
+        return 1.0 / (1.0 + u), b * jnp.log1p(u)
+    if kind == "tukey":
+        t = jnp.maximum(1.0 - r_norm2 / b, 0.0)
+        return t * t, (b / 3.0) * (1.0 - t * t * t)
+    raise ValueError(f"unknown robust loss '{kind}' (want one of {ROBUST_KINDS})")
 
 
 def _observation_geometry(cam, t_wc_f, x_world):
@@ -141,7 +170,8 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
              offsets, huber_delta: float, gradient_mode: str = "sampled",
              with_jacobians: bool = True,
              depth_prior: tuple | None = None,
-             normalize: bool = True) -> Residuals:
+             normalize: bool = True,
+             robust_kind: str = "huber") -> Residuals:
     """Evaluate all (point, window-frame) photometric residuals at once.
 
     Args:
@@ -219,7 +249,7 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
     vf = valid.astype(r.dtype)
     r = r * vf[..., None]
     r_norm2 = jnp.sum(r * r, axis=-1)                     # (N, W)
-    w_huber, rho = _huber_weight(r_norm2, huber_delta)
+    w_huber, rho = robust_weight(r_norm2, huber_delta, robust_kind)
     sw = jnp.sqrt(w_huber) * vf
     r = r * sw[..., None]
     if with_jacobians:
@@ -237,11 +267,13 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
 
 def cost_only(cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
               huber_delta: float, gradient_mode: str = "sampled",
-              depth_prior: tuple | None = None, normalize: bool = True):
+              depth_prior: tuple | None = None, normalize: bool = True,
+              robust_kind: str = "huber"):
     """Robust cost without Jacobians — used for LM step acceptance."""
     res = evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                    offsets, huber_delta, gradient_mode, with_jacobians=False,
-                   depth_prior=depth_prior, normalize=normalize)
+                   depth_prior=depth_prior, normalize=normalize,
+                   robust_kind=robust_kind)
     return res.cost, res.n_residuals
 
 
@@ -321,7 +353,8 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
                                 interpret: bool,
                                 mode: str = "sampled",
                                 ctx=None,
-                                normalize: bool = True) -> CompressedResiduals:
+                                normalize: bool = True,
+                                robust_kind: str = "huber") -> CompressedResiduals:
     """Kernel-backed path: ops/patch_warp samples (value, gx, gy) patches —
     the one op XLA gathers ruin — and the stat algebra (means, Grams,
     Huber) runs as dense XLA, identical to the gather path's math.
@@ -398,7 +431,7 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
     rnorm2 = rnorm2 + rp * rp
     vf = valid.astype(gtg.dtype)                              # (W, N)
     rnorm2 = rnorm2 * vf
-    w_huber, rho = _huber_weight(rnorm2, huber_delta)
+    w_huber, rho = robust_weight(rnorm2, huber_delta, robust_kind)
     wv = w_huber * vf
     sw = jnp.sqrt(w_huber) * vf
     return CompressedResiduals(
@@ -420,7 +453,8 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                         backend: str = "xla",
                         interpret: bool = False,
                         ctx=None,
-                        normalize: bool = True) -> CompressedResiduals:
+                        normalize: bool = True,
+                        robust_kind: str = "huber") -> CompressedResiduals:
     """Like `evaluate` but returns the factored Gauss-Newton statistics.
 
     Produces bitwise-equivalent normal equations (see
@@ -441,7 +475,7 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
         return _evaluate_compressed_pallas(
             cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
             huber_delta, depth_prior, interpret, mode=gradient_mode,
-            ctx=ctx, normalize=normalize)
+            ctx=ctx, normalize=normalize, robust_kind=robust_kind)
     n, w = obs_mask.shape
     use_prior = depth_prior is not None and depth_prior[2] > 0.0
 
@@ -485,7 +519,7 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
     # point-minor layout (see CompressedResiduals docstring).
     vf = valid.astype(gtg.dtype)                              # (W, N)
     r_norm2 = r_norm2 * vf
-    w_huber, rho = _huber_weight(r_norm2, huber_delta)
+    w_huber, rho = robust_weight(r_norm2, huber_delta, robust_kind)
     wv = w_huber * vf            # J^T J / J^T r carry the squared whitening
     sw = jnp.sqrt(w_huber) * vf
     return CompressedResiduals(

@@ -175,6 +175,7 @@ def wrap_batched_optimize(optimize_impl, mesh: Mesh, *,
 def make_frames_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
                                n_points: int, window_size: int,
                                huber_delta: float,
+                               robust_kind: str = "huber",
                                gradient_mode: str = "sampled",
                                backend: str = "xla",
                                normalize: bool = True,
@@ -216,7 +217,8 @@ def make_frames_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
         return lm.lm_solve(
             cam, t_wc, x_world, patch, channels, grads, obs_mask,
             point_valid, frozen, offsets,
-            huber_delta=huber_delta, gradient_mode=gradient_mode,
+            huber_delta=huber_delta, robust_kind=robust_kind,
+            gradient_mode=gradient_mode,
             backend=backend, normalize=normalize, depth_prior=depth_prior,
             motion_prior_weight=motion_prior_weight,
             max_iterations=max_iterations,
@@ -249,6 +251,7 @@ class ShardedLMSolver:
 
     def __init__(self, mesh: Mesh, cam: Camera, offsets: jax.Array, *,
                  n_points: int, huber_delta: float,
+                 robust_kind: str = "huber",
                  gradient_mode: str = "sampled", backend: str = "xla",
                  normalize: bool = True,
                  max_iterations: int = 50,
@@ -266,7 +269,8 @@ class ShardedLMSolver:
             return lm.lm_solve(
                 cam, t_wc, x_world, patch, channels, grads, obs_mask,
                 point_valid, frozen, offsets,
-                huber_delta=huber_delta, gradient_mode=gradient_mode,
+                huber_delta=huber_delta, robust_kind=robust_kind,
+                gradient_mode=gradient_mode,
                 backend=backend, normalize=normalize,
                 max_iterations=max_iterations, initial_lambda=initial_lambda,
                 function_tolerance=function_tolerance,
@@ -295,6 +299,7 @@ class ShardedLMSolver:
 
 def make_batched_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
                                 n_points: int, huber_delta: float,
+                                robust_kind: str = "huber",
                                 gradient_mode: str = "sampled",
                                 max_iterations: int = 20):
     """Batched raw multi-window lm_solve: vmap over a leading window-batch
@@ -308,7 +313,8 @@ def make_batched_sharded_solver(mesh: Mesh, cam: Camera, offsets: jax.Array, *,
         return lm.lm_solve(
             cam, t_wc, x_world, patch, channels, grads, obs_mask,
             point_valid, frozen, offsets,
-            huber_delta=huber_delta, gradient_mode=gradient_mode,
+            huber_delta=huber_delta, robust_kind=robust_kind,
+            gradient_mode=gradient_mode,
             max_iterations=max_iterations,
             reduce_fn=lambda x: jax.lax.psum(x, POINTS_AXIS),
         )

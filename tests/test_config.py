@@ -55,6 +55,10 @@ def test_pbaconfig_validation():
         PBAConfig(slidingWindowSize=1).validate()
     with pytest.raises(ValueError):
         PBAConfig(gradientMode="bogus").validate()
+    with pytest.raises(ValueError):
+        PBAConfig(robustLoss="bogus").validate()
+    for kind in ("huber", "cauchy", "tukey", "none"):
+        PBAConfig(robustLoss=kind).validate()
 
 
 def test_pbaconfig_hashable_and_replace():

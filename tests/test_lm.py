@@ -299,3 +299,47 @@ def test_pose_prior_split_rot_weight(rng):
     assert rot_dev(t_rot).max() < 0.05 * max(rot_dev(t_free).max(), 1e-9)
     # Translations still free: the solve moved them materially.
     assert trans_dev(t_rot).max() > 0.2 * trans_dev(t_free).max()
+
+
+def test_lm_redescending_loss_rejects_gross_outliers(rng):
+    """A redescending loss (tukey) must recover poses on a problem where a
+    block of points carries grossly corrupted reference patches (simulated
+    occlusion/specular outliers), and must beat plain least squares there.
+
+    delta sizing: inlier residual norms near convergence are ~0.1-0.2
+    (rms < 0.02/px over D = 49 px); the corrupted patches sit at norm
+    ~0.5*sqrt(49) = 3.5. delta = 0.6 cleanly separates the two."""
+    n_pts, w, n_bad = 96, 5, 10
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=n_pts,
+                                                         w=w, radius=3)
+    # Gross photometric corruption on a contiguous block of points: a
+    # +/-0.5 sawtooth survives mean normalization (the per-patch mean is
+    # removed, so a constant offset would NOT be an outlier).
+    d = patch.shape[-1]
+    saw = jnp.asarray(np.where(np.arange(d) % 2 == 0, 0.5, -0.5),
+                      patch.dtype)
+    patch = patch.at[:n_bad].add(saw)
+    poses0 = np.asarray(t_wc)
+    t_init = jnp.asarray(perturb_poses(rng, poses0, 0.03, 0.006,
+                                       keep_first=2))
+    frozen = jnp.asarray([True, True] + [False] * (w - 2))
+    pv = jnp.ones((n_pts,), bool)
+
+    errs = {}
+    for kind in ("none", "huber", "cauchy", "tukey"):
+        t_ref, _, stats = lm.lm_solve(
+            cam, t_init, x, patch, ch, g, obs, pv, frozen, off,
+            huber_delta=0.6, robust_kind=kind, gradient_mode="sampled",
+            max_iterations=40)
+        errs[kind], _ = pose_errors(np.asarray(t_ref), poses0)
+        costs = jax.device_get(stats).cost_log
+        costs = costs[~np.isnan(costs)]
+        assert (np.diff(costs) <= 1e-6).all(), kind  # monotone under IRLS
+    err_init, _ = pose_errors(np.asarray(t_init), poses0)
+    # Every robust kind must still converge on the 86 clean points.
+    for kind in ("huber", "cauchy", "tukey"):
+        assert errs[kind] < 0.5 * err_init, (kind, errs, err_init)
+    # The redescending losses must beat plain least squares, whose solution
+    # is dragged by the corrupted block.
+    assert errs["tukey"] < errs["none"], errs
+    assert errs["cauchy"] < errs["none"], errs

@@ -289,3 +289,66 @@ def test_unnormalized_compressed_matches_full(rng):
                                        np.asarray(getattr(eq_b, name)),
                                        atol=2e-3, rtol=1e-4,
                                        err_msg=f"{backend}:{name}")
+
+
+def test_robust_weight_families():
+    """Every loss kind matches its Ceres closed form (f64 oracle), satisfies
+    w = d rho / d s (the IRLS consistency that makes the whitened GN system
+    a true first-order model), behaves like plain least squares for small
+    residuals, and tukey hard-zeroes gross outliers."""
+    delta = 0.3
+    b = delta * delta
+    s = np.linspace(0.0, 0.5, 2001).astype(np.float64)
+    closed = {
+        "none": (np.ones_like(s), s),
+        "huber": (np.minimum(1.0, delta / np.sqrt(np.maximum(s, 1e-20))),
+                  np.where(s <= b, s, 2.0 * delta * np.sqrt(s) - b)),
+        "cauchy": (1.0 / (1.0 + s / b), b * np.log1p(s / b)),
+        "tukey": (np.maximum(1.0 - s / b, 0.0) ** 2,
+                  (b / 3.0) * (1.0 - np.maximum(1.0 - s / b, 0.0) ** 3)),
+    }
+    h = s[1] - s[0]
+    for kind, (w_ref, rho_ref) in closed.items():
+        w, rho = res_mod.robust_weight(jnp.asarray(s, jnp.float32), delta,
+                                       kind)
+        np.testing.assert_allclose(np.asarray(w, np.float64), w_ref,
+                                   rtol=3e-5, atol=2e-6, err_msg=kind)
+        np.testing.assert_allclose(np.asarray(rho, np.float64), rho_ref,
+                                   rtol=3e-5, atol=2e-6, err_msg=kind)
+        # IRLS consistency: w == d rho / d s (centered differences on the
+        # f64 closed form; exclude a neighborhood of the huber/tukey kink
+        # at s = delta^2 where the one-sided derivative jumps).
+        fd = np.gradient(rho_ref, s)
+        mask = np.abs(s - b) > 2.5 * h
+        np.testing.assert_allclose(w_ref[mask], fd[mask], rtol=5e-3,
+                                   atol=5e-4, err_msg=kind)
+        # Small-residual equivalence: rho(s) ~ s, w ~ 1 (delta keeps ONE
+        # meaning across kinds: where downweighting starts).
+        tiny = s[(s > 0) & (s < 0.02 * b)]
+        _, rho_t = res_mod.robust_weight(jnp.asarray(tiny, jnp.float32),
+                                         delta, kind)
+        np.testing.assert_allclose(np.asarray(rho_t, np.float64), tiny,
+                                   rtol=2e-2, err_msg=kind)
+    # Redescending property: tukey gives EXACTLY zero weight past delta.
+    w_out, rho_out = res_mod.robust_weight(
+        jnp.asarray([b * 1.01, 10.0], jnp.float32), delta, "tukey")
+    assert float(jnp.max(w_out)) == 0.0
+    np.testing.assert_allclose(np.asarray(rho_out), b / 3.0, rtol=1e-6)
+
+
+def test_robust_kind_threads_through_compressed_paths(rng):
+    """evaluate / evaluate_compressed (xla + pallas-interpret) agree on the
+    robust cost for every loss kind (the weight algebra lives OUTSIDE the
+    sampling kernels, so all backends must match)."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=7)
+    for kind in ("cauchy", "tukey", "none"):
+        kw = dict(huber_delta=0.05, gradient_mode="sampled",
+                  robust_kind=kind)
+        full = res_mod.evaluate(cam, t_wc, x + 0.02, patch, ch, g, obs, off,
+                                **kw)
+        for backend, extra in (("xla", {}), ("pallas", {"interpret": True})):
+            comp = res_mod.evaluate_compressed(
+                cam, t_wc, x + 0.02, patch, ch, g, obs, off,
+                backend=backend, **extra, **kw)
+            np.testing.assert_allclose(float(comp.cost), float(full.cost),
+                                       rtol=1e-5, err_msg=f"{backend}:{kind}")
