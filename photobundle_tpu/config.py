@@ -96,6 +96,24 @@ class PBAConfig:
                                           # changes then leak into the
                                           # residual (see test_engine
                                           # exposure-robustness test).
+                                          # False overrides
+                                          # patchNormalization to 'off'.
+    patchNormalization: str = "mean"      # per-patch descriptor/residual
+                                          # normalization: 'mean'
+                                          # (reference-exact offset
+                                          # removal) | 'affine' (ZNCC-
+                                          # style: mean removal + unit
+                                          # centered norm — gain AND
+                                          # offset invariant, gives plain
+                                          # Intensity descriptors
+                                          # BitPlanes-level exposure
+                                          # robustness; residual norms
+                                          # become angle-like, so size
+                                          # robustThreshold accordingly)
+                                          # | 'off'. See
+                                          # core/residuals.py
+                                          # _normalize_sampled for the
+                                          # exact Jacobian propagation.
 
     # --- window / point lifecycle ---
     slidingWindowSize: int = 5
@@ -355,6 +373,12 @@ class PBAConfig:
         """Residual dimension per observation: |patch| * channels."""
         return self.patch_size * self.patch_size * self.num_channels
 
+    def resolve_normalization(self) -> str:
+        """The per-patch normalization mode actually applied:
+        normalizePatches=False (the legacy bool) forces 'off', otherwise
+        patchNormalization ('mean' | 'affine' | 'off')."""
+        return self.patchNormalization if self.normalizePatches else "off"
+
     def resolve_gradient_mode(self) -> str:
         """The residual-path sampling mode: bicubic interpolation implies
         its own exact surface gradients (Ceres behavior)."""
@@ -394,6 +418,9 @@ class PBAConfig:
             raise ValueError("preFilterCap must be >= 0 (0 = off)")
         if self.robustLoss not in ("huber", "cauchy", "tukey", "none"):
             raise ValueError(f"unknown robustLoss '{self.robustLoss}'")
+        if self.patchNormalization not in ("mean", "affine", "off"):
+            raise ValueError(
+                f"unknown patchNormalization '{self.patchNormalization}'")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         if self.meshFrames > 1:

@@ -279,7 +279,7 @@ class PhotometricBundleAdjustment:
             border=cfg.patchRadius + 2,
             edge_radius=cfg.patchRadius,
             edge_threshold=cfg.depthEdgeThreshold,
-            normalize=cfg.normalizePatches,
+            normalize=cfg.resolve_normalization(),
             age_id=age_id,
         )
         diag = {
@@ -339,7 +339,7 @@ class PhotometricBundleAdjustment:
                 robust_kind=cfg.robustLoss,
                 gradient_mode=cfg.resolve_gradient_mode(),
                 backend=cfg.resolve_backend(),
-                normalize=cfg.normalizePatches,
+                normalize=cfg.resolve_normalization(),
                 depth_prior=depth_prior,
                 motion_prior_weight=cfg.motionPriorWeight,
                 motion_prior_anchor=anchor,
@@ -408,8 +408,8 @@ class PhotometricBundleAdjustment:
             if frames_sharded:
                 p_ref = shard_ctx.reduce_frames(p_ref)
                 ok_ref = shard_ctx.reduce_frames(ok_ref.astype(jnp.int32)) > 0
-            patch_k = (patches_mod.mean_normalize(p_ref)
-                       if cfg.normalizePatches else p_ref)
+            patch_k = patches_mod.normalize_patches(
+                p_ref, cfg.resolve_normalization())
             pv_k = point_valid & ok_ref & (ref_slot >= 0)
             t_cur, x_cur, _ = solve(
                 cam_k, self._prior_scale * (0.5 ** k), cfg.coarseIterations,
@@ -459,7 +459,7 @@ class PhotometricBundleAdjustment:
                           self.offsets, cfg.robustThreshold,
                           _gmode, depth_prior=dp,
                           backend=_backend, ctx=_ctx,
-                          normalize=cfg.normalizePatches,
+                          normalize=cfg.resolve_normalization(),
                           robust_kind=cfg.robustLoss)
                 c = res.cost
                 if shard_ctx is not None:

@@ -59,6 +59,7 @@ import jax.numpy as jnp
 from ..geometry import camera as cam_mod
 from ..geometry import se3
 from ..image import interp
+from ..image import patches as patches_mod
 
 
 class Residuals(NamedTuple):
@@ -109,6 +110,33 @@ def robust_weight(r_norm2: jax.Array, delta: float, kind: str = "huber"):
         t = jnp.maximum(1.0 - r_norm2 / b, 0.0)
         return t * t, (b / 3.0) * (1.0 - t * t * t)
     raise ValueError(f"unknown robust loss '{kind}' (want one of {ROBUST_KINDS})")
+
+
+def _normalize_sampled(s, g, mode: str):
+    """Apply the patch normalization to warped samples and propagate it
+    EXACTLY through to the sampled gradients (so Jacobians stay analytic):
+
+      mean:   c = s - s̄,                dc/dθ = G_c = g - ḡ
+      affine: ŝ = c / n, n = sqrt(Σc²+ε²), dŝ/dθ = (G_c - ŝ(ŝᵀG_c)) / n
+
+    The affine form keeps the rank-2 J = G·A factoring (G_eff is still
+    (D, 2)), so the compressed/Pallas statistics pipeline is unchanged.
+    s: (..., C, P); g: (..., C, P, 2) or None (cost-only pass).
+    """
+    if mode == "off":
+        return s, g
+    s = s - jnp.mean(s, axis=-1, keepdims=True)
+    if g is not None:
+        g = g - jnp.mean(g, axis=-2, keepdims=True)
+    if mode == "mean":
+        return s, g
+    eps = patches_mod.AFFINE_NORM_EPS
+    n = jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True) + eps * eps)
+    s = s / n                                             # ŝ
+    if g is not None:
+        proj = jnp.sum(s[..., None] * g, axis=-2, keepdims=True)  # ŝᵀG_c
+        g = (g - s[..., None] * proj) / n[..., None]
+    return s, g
 
 
 def _observation_geometry(cam, t_wc_f, x_world):
@@ -201,16 +229,16 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
     d = c * p
     use_prior = depth_prior is not None and depth_prior[2] > 0.0
 
+    norm_mode = patches_mod.norm_mode(normalize)
+
     def per_frame(f, t_wc_f, channels_f, grads_f, obs_f):
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
         s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode)
         valid = obs_f & in_front & in_bounds              # (N,)
-        if normalize:
-            s = s - jnp.mean(s, axis=-1, keepdims=True)
+        s, g = _normalize_sampled(s, g if with_jacobians else None,
+                                  norm_mode)
         r = (s - patch).reshape(n, d)                     # (N, D)
         if with_jacobians:
-            if normalize:
-                g = g - jnp.mean(g, axis=-2, keepdims=True)
             j = g.reshape(n, d, 2) @ a                    # (N, D, 9)
         else:
             j = jnp.zeros((n, d, 9), r.dtype)
@@ -412,10 +440,19 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
     gx = jnp.transpose(gx, (1, 2, 3, 0))
     gy = jnp.transpose(gy, (1, 2, 3, 0))
     patch_t = jnp.transpose(patch, (1, 2, 0))              # (C, P, N)
-    if normalize:
+    # Same normalization algebra as _normalize_sampled, in this path's
+    # point-minor (W, C, P, N) layout (patch axis = 2).
+    norm_mode = patches_mod.norm_mode(normalize)
+    if norm_mode != "off":
         s = s - jnp.mean(s, axis=2, keepdims=True)
         gx = gx - jnp.mean(gx, axis=2, keepdims=True)
         gy = gy - jnp.mean(gy, axis=2, keepdims=True)
+    if norm_mode == "affine":
+        eps = patches_mod.AFFINE_NORM_EPS
+        nn = jnp.sqrt(jnp.sum(s * s, axis=2, keepdims=True) + eps * eps)
+        s = s / nn                                         # ŝ
+        gx = (gx - s * jnp.sum(s * gx, axis=2, keepdims=True)) / nn
+        gy = (gy - s * jnp.sum(s * gy, axis=2, keepdims=True)) / nn
     r = (s - patch_t[None]).reshape(w, -1, n)              # (W, D, N)
     gx_c = gx.reshape(w, -1, n)
     gy_c = gy.reshape(w, -1, n)
@@ -479,14 +516,14 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
     n, w = obs_mask.shape
     use_prior = depth_prior is not None and depth_prior[2] > 0.0
 
+    norm_mode = patches_mod.norm_mode(normalize)
+
     def per_frame(f, t_wc_f, channels_f, grads_f, obs_f):
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
         s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets,
                                           gradient_mode)
         valid = obs_f & in_front & in_bounds                  # (N,)
-        if normalize:
-            s = s - jnp.mean(s, axis=-1, keepdims=True)
-            g = g - jnp.mean(g, axis=-2, keepdims=True)
+        s, g = _normalize_sampled(s, g, norm_mode)
         r = (s - patch).reshape(n, -1)                        # (N, D)
         g_c = g.reshape(n, -1, 2)
         gtg = jnp.einsum("ndi,ndj->nij", g_c, g_c)            # (N, 2, 2)

@@ -79,7 +79,7 @@ def select_new_points(
     border: int,
     edge_radius: int = 0,
     edge_threshold: float = 0.0,
-    normalize: bool = True,           # cfg.normalizePatches: store descriptors
+    normalize=True,                   # cfg.resolve_normalization(): store
                                       # mean-removed (reference behavior)
     age_id: jax.Array | None = None,  # ingest-ordinal clock for last_seen
                                       # (see tracking.track_into_frame)
@@ -137,8 +137,7 @@ def select_new_points(
     x_world = se3.transform_points(t_wc, x_cam)                 # (K, 3)
 
     patch, patch_ok = patches_mod.extract_patches(channels, uv, offsets)  # (K, C, P)
-    if normalize:
-        patch = patches_mod.mean_normalize(patch)
+    patch = patches_mod.normalize_patches(patch, normalize)
     cand_ok = cand_ok & patch_ok
 
     # Admission: free slots first. argsort(active) is stable, so False

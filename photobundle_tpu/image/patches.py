@@ -47,6 +47,49 @@ def mean_normalize(patches: jax.Array) -> jax.Array:
     return patches - jnp.mean(patches, axis=-1, keepdims=True)
 
 
+# Smoothing floor for affine normalization: n = sqrt(sum c^2 + EPS^2) keeps
+# the division (and its Jacobian) finite on textureless patches without a
+# branch. For [0,1]-intensity 5x5 patches the centered norm of any patch
+# worth selecting is >= ~1e-2, so the floor perturbs ŝ by < 1e-6 relative.
+AFFINE_NORM_EPS = 1e-4
+
+
+def affine_normalize(patches: jax.Array,
+                     eps: float = AFFINE_NORM_EPS) -> jax.Array:
+    """ZNCC-style per-(channel, patch) affine normalization: remove the mean,
+    divide by the (smoothed) centered norm. Makes the descriptor invariant
+    to per-frame gain AND offset (mean removal alone is offset-only — the
+    reference's choice, which leaves plain Intensity descriptors exposed to
+    exposure/gain flicker). patches: (..., C, P) -> same shape, unit-norm."""
+    c = patches - jnp.mean(patches, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.sum(c * c, axis=-1, keepdims=True) + eps * eps)
+    return c / n
+
+
+def norm_mode(normalize) -> str:
+    """Canonicalize the normalization knob: legacy bools map to
+    'mean'/'off'; strings pass through validated."""
+    if normalize is True:
+        return "mean"
+    if normalize is False or normalize is None:
+        return "off"
+    if normalize not in ("mean", "affine", "off"):
+        raise ValueError(f"unknown patch normalization '{normalize}'")
+    return normalize
+
+
+def normalize_patches(patches: jax.Array, mode) -> jax.Array:
+    """Apply the configured per-patch normalization to stored descriptors
+    (selection / coarse-level re-extraction use this; the residual paths
+    apply the matching transform to warped patches in-solve)."""
+    mode = norm_mode(mode)
+    if mode == "mean":
+        return mean_normalize(patches)
+    if mode == "affine":
+        return affine_normalize(patches)
+    return patches
+
+
 def zncc(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
     """Zero-mean normalized cross-correlation over the last axis, averaged
     over channels. a, b: (..., C, P) -> (...,). Range [-1, 1].

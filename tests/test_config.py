@@ -59,6 +59,14 @@ def test_pbaconfig_validation():
         PBAConfig(robustLoss="bogus").validate()
     for kind in ("huber", "cauchy", "tukey", "none"):
         PBAConfig(robustLoss=kind).validate()
+    with pytest.raises(ValueError):
+        PBAConfig(patchNormalization="bogus").validate()
+    # resolve_normalization: the legacy bool forces 'off'.
+    assert PBAConfig().resolve_normalization() == "mean"
+    assert PBAConfig(patchNormalization="affine").resolve_normalization() == "affine"
+    assert PBAConfig(normalizePatches=False).resolve_normalization() == "off"
+    assert (PBAConfig(normalizePatches=False, patchNormalization="affine")
+            .resolve_normalization() == "off")
 
 
 def test_pbaconfig_hashable_and_replace():

@@ -613,3 +613,35 @@ def test_engine_bitplanes_gain_robustness(scene):
     assert a_ref < 0.8 * a_init, (a_init, a_ref)
     for r in results:
         assert r.final_cost <= r.initial_cost + 1e-9
+
+
+def test_engine_affine_normalization_gain_robustness(scene):
+    """patchNormalization='affine' (ZNCC-style unit-norm descriptors) gives
+    the PLAIN Intensity descriptor the gain robustness that otherwise
+    requires BitPlanes: on the same gain-flickering video that defeats
+    mean-only normalization, the affine-normalized Intensity engine must
+    still refine the jittered trajectory — and beat its mean-normalized
+    counterpart."""
+    cam, images, depths, poses_gt = scene
+    rng = np.random.default_rng(7)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.03, rot_sigma=0.003,
+                         keep_first=2)
+    gains = rng.uniform(0.7, 1.3, size=len(images)).astype(np.float32)
+    images_g = [img * g for img, g in zip(images, gains)]
+    scene_g = (cam, images_g, depths, poses_gt)
+
+    gt = traj_mod.Trajectory(poses_gt.astype(np.float64))
+    a_init = traj_mod.ate_rmse(traj_mod.Trajectory(init.astype(np.float64)),
+                               gt, align=False)
+
+    refined_aff, results, _ = run_engine(
+        scene_g, small_cfg(patchNormalization="affine"), init)
+    assert results, "no window solves ran"
+    a_aff = traj_mod.ate_rmse(refined_aff, gt, align=False)
+    refined_mean, _, _ = run_engine(scene_g, small_cfg(), init)
+    a_mean = traj_mod.ate_rmse(refined_mean, gt, align=False)
+
+    assert a_aff < 0.65 * a_init, (a_init, a_aff)
+    assert a_aff < a_mean, (a_aff, a_mean)
+    for r in results:
+        assert r.final_cost <= r.initial_cost + 1e-9

@@ -352,3 +352,91 @@ def test_robust_kind_threads_through_compressed_paths(rng):
                 backend=backend, **extra, **kw)
             np.testing.assert_allclose(float(comp.cost), float(full.cost),
                                        rtol=1e-5, err_msg=f"{backend}:{kind}")
+
+
+def test_affine_jacobians_match_autodiff(rng):
+    """patchNormalization='affine' (ZNCC-style unit-norm descriptors): the
+    analytic G_eff = (G_c - ŝ(ŝᵀG_c))/n propagation must equal jax.jacfwd
+    through the full normalized residual."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=6)
+    from photobundle_tpu.image import patches as pm
+    patch = pm.affine_normalize(patch)  # stored descriptor matches the mode
+    kw = dict(huber_delta=1e9, gradient_mode="exact", normalize="affine")
+    out = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off, **kw)
+
+    def residual_fn(xi_all, x_all):
+        t = se3.retract_right(t_wc, xi_all)
+        r = res_mod.evaluate(cam, t, x_all, patch, ch, g, obs, off,
+                             with_jacobians=False, **kw)
+        return r.r
+
+    w = t_wc.shape[0]
+    xi0 = jnp.zeros((w, 6))
+    j_pose_auto = jax.jacfwd(residual_fn, argnums=0)(xi0, x)
+    j_point_auto = jax.jacfwd(residual_fn, argnums=1)(xi0, x)
+    n = x.shape[0]
+    jp_auto = np.stack([np.asarray(j_pose_auto[:, f, :, f, :])
+                        for f in range(w)], 1)
+    jx_auto = np.stack([np.asarray(j_point_auto[p, :, :, p, :])
+                        for p in range(n)], 0)
+    np.testing.assert_allclose(np.asarray(out.j_pose), jp_auto,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.j_point), jx_auto,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_affine_normalization_gain_offset_invariance(rng):
+    """Under 'affine' normalization the residual AND its Jacobians are
+    invariant to a per-frame gain+offset change of the target image
+    (bilinear sampling commutes with affine image maps, centering removes
+    the offset, unit-norm removes the gain). 'mean' removes only the
+    offset, so the same gain change must move its cost."""
+    from photobundle_tpu.image import patches as pm
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=8)
+    ch2 = ch.at[2].multiply(1.3).at[2].add(0.1)
+    gx2, gy2 = interp.image_gradients(ch2)
+    g2 = jnp.stack([gx2, gy2], axis=-1)
+    kw = dict(huber_delta=1e9, gradient_mode="exact")
+
+    patch_a = pm.affine_normalize(patch)
+    a = res_mod.evaluate(cam, t_wc, x + 0.02, patch_a, ch, g, obs, off,
+                         normalize="affine", **kw)
+    b = res_mod.evaluate(cam, t_wc, x + 0.02, patch_a, ch2, g2, obs, off,
+                         normalize="affine", **kw)
+    assert abs(float(a.cost) - float(b.cost)) < 1e-6
+    np.testing.assert_allclose(np.asarray(a.r), np.asarray(b.r), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(a.j_pose), np.asarray(b.j_pose),
+                               atol=2e-4)
+    # Gain leaks through mean-only normalization (the reference's scheme).
+    m1 = res_mod.evaluate(cam, t_wc, x + 0.02, patch, ch, g, obs, off,
+                          normalize="mean", **kw)
+    m2 = res_mod.evaluate(cam, t_wc, x + 0.02, patch, ch2, g2, obs, off,
+                          normalize="mean", **kw)
+    assert abs(float(m1.cost) - float(m2.cost)) > 1e-3
+
+
+def test_affine_compressed_matches_full(rng):
+    """Compressed (XLA and pallas-interpret) statistics under 'affine'
+    normalization reproduce the oracle's cost and normal equations."""
+    from photobundle_tpu.core import schur
+    from photobundle_tpu.image import patches as pm
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=7)
+    patch = pm.affine_normalize(patch)
+    kw = dict(huber_delta=1e9, gradient_mode="sampled", normalize="affine")
+    full = res_mod.evaluate(cam, t_wc, x + 0.02, patch, ch, g, obs, off, **kw)
+    eq_b = schur.build_normal_equations(full)
+    for backend, extra in (("xla", {}), ("pallas", {"interpret": True})):
+        comp = res_mod.evaluate_compressed(cam, t_wc, x + 0.02, patch, ch, g,
+                                           obs, off, backend=backend,
+                                           **extra, **kw)
+        np.testing.assert_allclose(float(comp.cost), float(full.cost),
+                                   rtol=1e-5, err_msg=backend)
+        eq_a = schur.to_point_major(
+            schur.build_normal_equations_compressed(comp))
+        for name in ("hpp", "hpc", "hcc", "bp", "bc"):
+            np.testing.assert_allclose(np.asarray(getattr(eq_a, name)),
+                                       np.asarray(getattr(eq_b, name)),
+                                       atol=2e-3, rtol=1e-3,
+                                       err_msg=f"{backend}:{name}")

@@ -74,6 +74,13 @@ CONFIGS = {
     "W5_production_c2f": dict(slidingWindowSize=5, motionPriorWeight=2.0,
                               posePriorWeight=4.0, pyramidLevels=3,
                               coarseToFine=True),
+    # Production + redescending loss: tukey hard-zeroes gross photometric
+    # outliers (occlusion boundaries at the box obstacles). delta = 0.3
+    # sits between inlier residual norms (~0.1-0.2 at D=25) and
+    # occlusion-level outliers; see BASELINE.md for the sweep.
+    "W5_production_tukey": dict(slidingWindowSize=5, motionPriorWeight=2.0,
+                                posePriorWeight=4.0, robustLoss="tukey",
+                                robustThreshold=0.3),
 }
 
 
