@@ -1,0 +1,80 @@
+"""Smoke tests for the user-facing evaluation tools (tools/eval_traj.py,
+tools/plot_traj.py): they must run end-to-end on KITTI-format pose files
+and produce their artifacts. The metric math itself is pinned in
+test_io.py; these protect the CLI surfaces."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_kitti_poses(path, poses):
+    with open(path, "w") as f:
+        for t in poses:
+            f.write(" ".join(f"{v:.9f}" for v in t[:3].reshape(-1)) + "\n")
+
+
+def _make_traj_files(tmp_path, n=12):
+    rng = np.random.default_rng(0)
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 2, 3] = np.arange(n) * 0.8          # forward motion
+    gt[:, 0, 3] = 0.1 * np.sin(np.arange(n))  # gentle lateral curve
+    est = gt.copy()
+    est[:, :3, 3] += rng.normal(0, 0.02, (n, 3))
+    init = gt.copy()
+    init[:, :3, 3] += rng.normal(0, 0.05, (n, 3))
+    paths = {}
+    for name, arr in (("gt", gt), ("est", est), ("init", init)):
+        p = os.path.join(tmp_path, f"{name}.txt")
+        _write_kitti_poses(p, arr)
+        paths[name] = p
+    return paths
+
+
+def _run(args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    return subprocess.run([sys.executable] + args, env=env,
+                          capture_output=True, text=True, timeout=300)
+
+
+def test_eval_traj_smoke(tmp_path):
+    p = _make_traj_files(str(tmp_path))
+    r = _run([os.path.join(REPO, "tools/eval_traj.py"),
+              p["est"], p["gt"], p["init"]])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines()]
+    assert [rec["trajectory"] for rec in lines] == ["initialization",
+                                                    "refined"]
+    for rec in lines:
+        for key in ("ate_rmse_m", "rpe_trans_m", "rpe_rot_rad",
+                    "kitti_t_err_pct", "kitti_r_err_deg_per_100m"):
+            assert np.isfinite(rec[key]), rec
+    # The smaller perturbation must score the smaller ATE.
+    assert lines[1]["ate_rmse_m"] < lines[0]["ate_rmse_m"]
+
+
+def test_plot_traj_smoke(tmp_path):
+    p = _make_traj_files(str(tmp_path))
+    jsonl = os.path.join(str(tmp_path), "solve.jsonl")
+    with open(jsonl, "w") as f:
+        for i in (5, 6, 7):
+            f.write(json.dumps({
+                "frame": i, "initial_cost": 10.0 / i, "final_cost": 5.0 / i,
+                "trans_correction": [0.01 * i, 0.02 * i],
+            }) + "\n")
+    out = os.path.join(str(tmp_path), "traj.png")
+    r = _run([os.path.join(REPO, "tools/plot_traj.py"),
+              p["est"], p["gt"], p["init"], "--jsonl", jsonl, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out) and os.path.getsize(out) > 10_000
+    # Without init / jsonl (single-panel column) it must also run.
+    out2 = os.path.join(str(tmp_path), "traj2.png")
+    r2 = _run([os.path.join(REPO, "tools/plot_traj.py"),
+               p["est"], p["gt"], "--out", out2])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert os.path.exists(out2) and os.path.getsize(out2) > 10_000
