@@ -19,4 +19,5 @@ run fa_breakdown_65536 env PB_FUSED_ASSEMBLY=1 python tools/bench_lm_breakdown.p
 run fa_bench           env PB_FUSED_ASSEMBLY=1 python bench.py
 run scaling          python tools/bench_scaling.py
 run warp_kernel      python tools/bench_warp_kernel.py
+run sampling         python tools/bench_sampling.py
 echo "=== done; logs in /tmp/tpu_r3/ ==="
