@@ -89,6 +89,18 @@ class PBAConfig:
     patchRadius: int = 2                  # patch side = 2r+1 (5x5)
     sigmaPriorToCensusTransform: float = 0.5   # BitPlanes pre-smoothing
     sigmaBitPlanes: float = 0.75               # BitPlanes channel smoothing
+    gradientSigma: float = 0.0            # Gaussian sigma applied to the
+                                          # GRADIENT planes only (gradient-
+                                          # of-Gaussian; value channels stay
+                                          # sharp). The Jacobian direction
+                                          # field's smoothness was measured
+                                          # as the decisive sampling-mode
+                                          # variable (BASELINE.md
+                                          # "Interpolation-order probe");
+                                          # this makes the low-pass
+                                          # explicit/tunable. 0 =
+                                          # reference-exact central
+                                          # differences.
     normalizePatches: bool = True              # per-patch mean removal
                                           # (reference's brightness
                                           # normalization). False compares
@@ -421,6 +433,8 @@ class PBAConfig:
         if self.patchNormalization not in ("mean", "affine", "off"):
             raise ValueError(
                 f"unknown patchNormalization '{self.patchNormalization}'")
+        if self.gradientSigma < 0:
+            raise ValueError("gradientSigma must be >= 0 (0 = off)")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         if self.meshFrames > 1:

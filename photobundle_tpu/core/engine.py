@@ -234,7 +234,8 @@ class PhotometricBundleAdjustment:
         levels = pyramid_mod.build_pyramid(image, cfg.pyramidLevels)
         img_l = levels[cfg.refinementLevel]
         lvl = descriptor_mod.build_descriptor_level(
-            img_l, cfg.descriptor, cfg.sigmaPriorToCensusTransform, cfg.sigmaBitPlanes
+            img_l, cfg.descriptor, cfg.sigmaPriorToCensusTransform,
+            cfg.sigmaBitPlanes, cfg.gradientSigma
         )
         s = 2 ** cfg.refinementLevel
         depth_l = depth[::s, ::s]
@@ -379,7 +380,9 @@ class PhotometricBundleAdjustment:
             ch_k = window.channels
             for _ in range(k):
                 ch_k = pyramid_mod.downsample2(pyramid_mod.gaussian_blur5(ch_k))
-            gx, gy = interp_mod.image_gradients(ch_k)
+            gsrc_k = (pyramid_mod.gaussian_blur_sigma(ch_k, cfg.gradientSigma)
+                      if cfg.gradientSigma > 0 else ch_k)
+            gx, gy = interp_mod.image_gradients(gsrc_k)
             grads_k = jnp.stack([gx, gy], axis=-1)
             cam_k = self.camera.scaled(0.5 ** k)
 

@@ -85,10 +85,21 @@ def make_channels(img: jax.Array, descriptor: str,
 
 
 def build_descriptor_level(img: jax.Array, descriptor: str,
-                           sigma_pre: float = 0.5, sigma_post: float = 0.75) -> DescriptorLevel:
-    """One pyramid level -> DescriptorLevel. img: (H, W)."""
+                           sigma_pre: float = 0.5, sigma_post: float = 0.75,
+                           gradient_sigma: float = 0.0) -> DescriptorLevel:
+    """One pyramid level -> DescriptorLevel. img: (H, W).
+
+    gradient_sigma > 0 computes the gradient PLANES from a Gaussian-blurred
+    copy of the channels (gradient-of-Gaussian) while the value channels
+    stay sharp. Round-3 golden probes isolated the Jacobian direction
+    field's conditioning as the decisive sampling-mode variable (BASELINE
+    "Interpolation-order probe"): central-difference planes already carry a
+    mild implicit low-pass; this knob makes the low-pass explicit and
+    tunable. 0 = reference-exact central differences."""
     ch = make_channels(img, descriptor, sigma_pre, sigma_post)
-    gx, gy = interp.image_gradients(ch)
+    gsrc = (pyramid.gaussian_blur_sigma(ch, gradient_sigma)
+            if gradient_sigma > 0 else ch)
+    gx, gy = interp.image_gradients(gsrc)
     grads = jnp.stack([gx, gy], axis=-1)
     # Selection saliency always comes from the raw intensity image (texture),
     # independent of the residual descriptor — matches the reference, whose
@@ -98,8 +109,10 @@ def build_descriptor_level(img: jax.Array, descriptor: str,
 
 
 def build_descriptor_pyramid(img: jax.Array, num_levels: int, descriptor: str,
-                             sigma_pre: float = 0.5, sigma_post: float = 0.75
+                             sigma_pre: float = 0.5, sigma_post: float = 0.75,
+                             gradient_sigma: float = 0.0
                              ) -> Tuple[DescriptorLevel, ...]:
     """Full-resolution image -> tuple of DescriptorLevel, coarse levels last."""
     levels = pyramid.build_pyramid(img, num_levels)
-    return tuple(build_descriptor_level(l, descriptor, sigma_pre, sigma_post) for l in levels)
+    return tuple(build_descriptor_level(l, descriptor, sigma_pre, sigma_post,
+                                        gradient_sigma) for l in levels)

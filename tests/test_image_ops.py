@@ -110,3 +110,27 @@ def test_bitplanes_contrast_invariant(rng):
     a = descriptor.make_channels(jnp.asarray(img), DESCRIPTOR_BITPLANES)
     b = descriptor.make_channels(jnp.asarray(2.0 * img + 5.0), DESCRIPTOR_BITPLANES)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_gradient_sigma_smooths_planes_only():
+    """gradientSigma computes the gradient planes from a blurred copy
+    (gradient-of-Gaussian) while the value channels stay sharp."""
+    import numpy as np
+    from photobundle_tpu.image import descriptor, interp, pyramid
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((64, 96)), jnp.float32)
+    base = descriptor.build_descriptor_level(img, "Intensity")
+    smoothed = descriptor.build_descriptor_level(img, "Intensity",
+                                                 gradient_sigma=1.0)
+    np.testing.assert_array_equal(np.asarray(base.channels),
+                                  np.asarray(smoothed.channels))
+    assert float(jnp.abs(base.grads - smoothed.grads).max()) > 1e-4
+    gx, gy = interp.image_gradients(
+        pyramid.gaussian_blur_sigma(base.channels, 1.0))
+    np.testing.assert_allclose(np.asarray(smoothed.grads),
+                               np.asarray(jnp.stack([gx, gy], axis=-1)),
+                               atol=1e-7)
+    # Blurred gradients are strictly smoother (smaller second differences).
+    d2 = lambda g: float(jnp.abs(jnp.diff(g[..., 0], n=2, axis=-1)).mean())
+    assert d2(smoothed.grads) < d2(base.grads)
