@@ -248,12 +248,21 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
                             shape=(370, 1226), fx=707.0, baseline=0.537,
                             step=0.8,
                             min_wavelength=0.25, max_wavelength=4.0,
-                            obstacles="default"):
+                            obstacles="default", supersample=1):
     """KITTI-scale golden dataset (BASELINE configs 1/2 stand-in until real
     KITTI exists on disk): textured box room, seq-00-style block-loop
     trajectory (straights + 90-degree turns), true KITTI calibration scale
     (fx=707, b=0.537 m, 370x1226), stereo PNG pairs + calib/times/poses in
-    odometry layout."""
+    odometry layout.
+
+    supersample > 1 renders at S x resolution and box-averages down —
+    modeling a real camera's pixel-footprint integration instead of point
+    sampling. This is what makes SHARP textures usable: the default
+    point-sampled render aliases below ~2.5 px wavelength (at z = 80 m the
+    far walls hit that at min_wavelength ~0.28 m), and aliasing is
+    view-DEPENDENT, which breaks the multi-view photometric consistency
+    the golden depends on. Pixel integration attenuates those frequencies
+    the way real optics do."""
     import os
 
     from PIL import Image
@@ -280,11 +289,24 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
         out_r = os.path.join(seq_dir, "image_1", f"{i:06d}.png")
         if os.path.exists(out_l) and os.path.exists(out_r):
             continue
-        img_l, _ = render_box(tex, cam, p, shape, obstacles=obstacles)
+        s = int(supersample)
+        if s > 1:
+            cam_ss = cam.scaled(float(s))   # pixel-center-preserving upscale
+            shape_ss = (shape[0] * s, shape[1] * s)
+
+            def _render(pose):
+                im, _ = render_box(tex, cam_ss, pose, shape_ss,
+                                   obstacles=obstacles)
+                return im.reshape(shape[0], s, shape[1], s).mean(axis=(1, 3))
+        else:
+            def _render(pose):
+                return render_box(tex, cam, pose, shape,
+                                  obstacles=obstacles)[0]
+        img_l = _render(p)
         pr = p.copy()
         pr[:3, 3] = p[:3, 3] + p[:3, :3] @ np.array([baseline, 0, 0],
                                                     np.float32)
-        img_r, _ = render_box(tex, cam, pr, shape, obstacles=obstacles)
+        img_r = _render(pr)
         for sub, im in (("image_0", img_l), ("image_1", img_r)):
             arr = np.clip(im * 255, 0, 255).astype(np.uint8)
             Image.fromarray(arr).save(

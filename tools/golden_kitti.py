@@ -103,6 +103,15 @@ def main() -> int:
                     help="VO error realization seed (99 reproduces the "
                          "published BASELINE.md tables; other seeds check "
                          "the result is not realization-lucky)")
+    ap.add_argument("--supersample", type=int, default=1,
+                    help="render the dataset at SxS subpixel samples per "
+                         "pixel and box-average (real pixel integration; "
+                         "enables sharp textures without view-dependent "
+                         "aliasing). Use a distinct --root per setting.")
+    ap.add_argument("--min-wavelength", type=float, default=0.25,
+                    help="shortest texture wavelength (m); the default is "
+                         "the point-sampled render's alias limit at 80 m — "
+                         "go lower only with --supersample >= 2")
     args = ap.parse_args()
     if args.drift_trans is None:
         # walk defaults reproduce the round-2 published table (1%-of-motion
@@ -121,7 +130,9 @@ def main() -> int:
               "(one-time, cached)...", flush=True)
         t0 = time.time()
         rng = np.random.default_rng(12)
-        write_box_kitti_dataset(args.root, 0, rng, n_frames=args.frames)
+        write_box_kitti_dataset(args.root, 0, rng, n_frames=args.frames,
+                                supersample=args.supersample,
+                                min_wavelength=args.min_wavelength)
         open(marker, "w").write("ok")
         print(f"rendered in {time.time() - t0:.0f}s", flush=True)
 
