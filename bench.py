@@ -102,7 +102,48 @@ def _devices_with_watchdog(timeout_s=240.0):
     return result.get("devices")
 
 
+def _cpu_probe_subprocess(timeout_s=1500.0):
+    """CPU baseline in a fresh process with JAX_PLATFORMS=cpu.
+
+    Under the axon environment the in-process route
+    (`jax.local_devices(backend="cpu")`) fails — once JAX_PLATFORMS pins the
+    accelerator platform, the CPU client is never registered ("Unknown
+    backend cpu"). A subprocess with the env var overridden is the only
+    reliable way to measure the identical solver on the host CPU."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # single-device CPU, no virtual mesh
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--cpu-probe"], env=env,
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("CPU_IPS "):
+            return float(line.split()[1])
+    print(f"# cpu probe subprocess failed: {out.stderr.strip()[-200:]}",
+          file=sys.stderr)
+    return None
+
+
 def main():
+    if "--cpu-probe" in sys.argv:
+        # Import the package FIRST: it re-applies JAX_PLATFORMS from the
+        # environment over the axon sitecustomize's jax_platforms config
+        # override (which otherwise silently wins and this probe would
+        # time the TPU, not the CPU).
+        import photobundle_tpu  # noqa: F401
+        import jax
+
+        dev = jax.devices()[0]
+        assert dev.platform == "cpu", f"cpu probe got {dev.platform}"
+        cpu_ips, _, _ = time_solve(dev, CPU_ITERS, repeats=3)
+        print(f"CPU_IPS {cpu_ips}")
+        return
+
     devices = _devices_with_watchdog()
     if devices is None:
         print(json.dumps({
@@ -127,8 +168,13 @@ def main():
         cpu = jax.local_devices(backend="cpu")[0]
         cpu_ips, _, _ = time_solve(cpu, CPU_ITERS, repeats=3)
         vs_baseline = tpu_ips / cpu_ips
-    except Exception as e:  # no CPU backend — report TPU-only
-        print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+    except Exception:  # no in-process CPU backend — probe in a subprocess
+        cpu_ips = _cpu_probe_subprocess()
+        if cpu_ips:
+            vs_baseline = tpu_ips / cpu_ips
+        else:
+            print("# cpu baseline unavailable — reporting TPU-only",
+                  file=sys.stderr)
 
     record = {
         "metric": "BA_iterations_per_s_kitti_scale_window",
