@@ -101,6 +101,22 @@ class PBAConfig:
                                           # explicit/tunable. 0 =
                                           # reference-exact central
                                           # differences.
+    patchScale: bool = False              # depth-ratio patch-grid scaling:
+                                          # sample frame f at
+                                          # u + (z_seed/z_f) * o_k instead
+                                          # of the reference's FIXED
+                                          # fronto-parallel grid. Addresses
+                                          # the measured patch-model
+                                          # accuracy floor (~8%/frame scale
+                                          # change at forward motion —
+                                          # BASELINE.md "Texture-sharpness
+                                          # probe"). Ratio clamped to
+                                          # [0.5, 2]. Default off =
+                                          # reference-exact. Runs on the
+                                          # XLA sampling path (the Pallas
+                                          # warp kernels assume one subpixel
+                                          # phase per observation; auto
+                                          # backend falls back to xla).
     normalizePatches: bool = True              # per-patch mean removal
                                           # (reference's brightness
                                           # normalization). False compares
@@ -403,6 +419,8 @@ class PBAConfig:
         XLA elsewhere."""
         if self.solverBackend != "auto":
             return self.solverBackend
+        if self.patchScale:
+            return "xla"   # scaled patch grids: gather path only (for now)
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
@@ -435,6 +453,9 @@ class PBAConfig:
                 f"unknown patchNormalization '{self.patchNormalization}'")
         if self.gradientSigma < 0:
             raise ValueError("gradientSigma must be >= 0 (0 = off)")
+        if self.patchScale and self.solverBackend == "pallas":
+            raise ValueError("patchScale requires the XLA sampling path; "
+                             "set solverBackend to auto or xla")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         if self.meshFrames > 1:

@@ -342,6 +342,7 @@ class PhotometricBundleAdjustment:
                 backend=cfg.resolve_backend(),
                 normalize=cfg.resolve_normalization(),
                 depth_prior=depth_prior,
+                patch_scale=(seed_s if cfg.patchScale else None),
                 motion_prior_weight=cfg.motionPriorWeight,
                 motion_prior_anchor=anchor,
                 pose_prior=((window.t_vo, cfg.posePriorWeight,
@@ -463,7 +464,9 @@ class PhotometricBundleAdjustment:
                           _gmode, depth_prior=dp,
                           backend=_backend, ctx=_ctx,
                           normalize=cfg.resolve_normalization(),
-                          robust_kind=cfg.robustLoss)
+                          robust_kind=cfg.robustLoss,
+                          patch_scale=(points.inv_depth_seed
+                                       if cfg.patchScale else None))
                 c = res.cost
                 if shard_ctx is not None:
                     c = shard_ctx.reduce_obs(c)

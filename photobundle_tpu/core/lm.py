@@ -151,6 +151,7 @@ def lm_solve(
     backend: str = "xla",
     normalize: bool = True,
     depth_prior: tuple | None = None,
+    patch_scale: jax.Array | None = None,
     motion_prior_weight: float = 0.0,
     motion_prior_anchor: jax.Array | None = None,
     pose_prior: tuple | None = None,
@@ -208,7 +209,8 @@ def lm_solve(
                                    gradient_mode, depth_prior=depth_prior,
                                    backend=backend, ctx=eval_ctx,
                                    normalize=normalize,
-                                   robust_kind=robust_kind)
+                                   robust_kind=robust_kind,
+                                   patch_scale=patch_scale)
 
     # Relative-pose motion prior (no reference counterpart): anchors each
     # consecutive window pair's relative pose to its initialization,

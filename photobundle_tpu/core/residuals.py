@@ -164,12 +164,37 @@ def _observation_geometry(cam, t_wc_f, x_world):
     return y, uv, in_front, jnp.concatenate([a_pose, a_point], axis=-1)  # A: (N, 2, 9)
 
 
-def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str):
+PATCH_SCALE_MIN = 0.5
+PATCH_SCALE_MAX = 2.0
+
+
+def patch_scale_factor(z, inv_depth_seed):
+    """Per-observation patch-grid scale rho = z_seed / z (cfg.patchScale).
+
+    The fixed fronto-parallel patch grid is the reference's model
+    (pb:src/photobundle.cc samples the SAME pixel offsets in every frame);
+    under forward motion a point's patch appearance scales by the depth
+    ratio between its seed (extraction) depth and its current camera depth
+    (~8%/frame at 0.8 m/frame and 10 m — the measured accuracy floor, see
+    BASELINE.md "Texture-sharpness probe"). Scaling the sampling grid by
+    rho = z_seed/z warps the patch to its extraction-time footprint.
+    Clamped to [0.5, 2]: beyond a 2x scale change the planar model itself
+    has broken down (ZNCC tracking would have dropped the observation).
+    """
+    rho = 1.0 / jnp.maximum(inv_depth_seed * z, 1e-6)
+    return jnp.clip(rho, PATCH_SCALE_MIN, PATCH_SCALE_MAX)
+
+
+def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str,
+                    scale=None):
     """Sample patch values and gradients for one frame.
 
     channels_f (C, H, W), grads_f (C, H, W, 2), uv (N, 2), offsets (P, 2).
+    scale: optional (N,) per-point patch-grid scale (cfg.patchScale).
     Returns s (N, C, P), g (N, C, P, 2), valid (N,).
     """
+    if scale is not None:
+        offsets = scale[:, None, None] * offsets          # (N, P, 2)
     pts = uv[:, None, :] + offsets                        # (N, P, 2)
     if gradient_mode == "bicubic":
         # Ceres-parity mode: Catmull-Rom surface with its exact gradient
@@ -199,7 +224,8 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
              with_jacobians: bool = True,
              depth_prior: tuple | None = None,
              normalize: bool = True,
-             robust_kind: str = "huber") -> Residuals:
+             robust_kind: str = "huber",
+             patch_scale: jax.Array | None = None) -> Residuals:
     """Evaluate all (point, window-frame) photometric residuals at once.
 
     Args:
@@ -220,6 +246,15 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
         intensities; `patch` must then be raw (un-normalized) too. The
         Jacobian centering is skipped in lockstep (d/dtheta of the patch
         mean is the gradient mean).
+      patch_scale: optional (N,) inverse-depth seeds (points.inv_depth_seed)
+        enabling depth-ratio patch-grid scaling (cfg.patchScale): frame f
+        samples at u + rho*o_k with rho = z_seed/z_f (patch_scale_factor).
+        The Jacobian holds rho FROZEN at the linearization point (the
+        d rho/d theta term scales with |o_k| * dz/z — second order for
+        patch-radius offsets); the sampled gradients are taken at the
+        scaled positions, so dr/du stays exact and the rank-2 J = G @ A
+        factoring is preserved. LM's accept/reject tests the TRUE cost, so
+        the approximation affects step quality only, never correctness.
 
     Returns Residuals with whitened r/J (zeros where invalid).
     """
@@ -233,7 +268,10 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
 
     def per_frame(f, t_wc_f, channels_f, grads_f, obs_f):
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
-        s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode)
+        rho = (patch_scale_factor(y[:, 2], patch_scale)
+               if patch_scale is not None else None)
+        s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets,
+                                          gradient_mode, scale=rho)
         valid = obs_f & in_front & in_bounds              # (N,)
         s, g = _normalize_sampled(s, g if with_jacobians else None,
                                   norm_mode)
@@ -296,12 +334,13 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
 def cost_only(cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
               huber_delta: float, gradient_mode: str = "sampled",
               depth_prior: tuple | None = None, normalize: bool = True,
-              robust_kind: str = "huber"):
+              robust_kind: str = "huber",
+              patch_scale: jax.Array | None = None):
     """Robust cost without Jacobians — used for LM step acceptance."""
     res = evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                    offsets, huber_delta, gradient_mode, with_jacobians=False,
                    depth_prior=depth_prior, normalize=normalize,
-                   robust_kind=robust_kind)
+                   robust_kind=robust_kind, patch_scale=patch_scale)
     return res.cost, res.n_residuals
 
 
@@ -491,7 +530,8 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                         interpret: bool = False,
                         ctx=None,
                         normalize: bool = True,
-                        robust_kind: str = "huber") -> CompressedResiduals:
+                        robust_kind: str = "huber",
+                        patch_scale: jax.Array | None = None) -> CompressedResiduals:
     """Like `evaluate` but returns the factored Gauss-Newton statistics.
 
     Produces bitwise-equivalent normal equations (see
@@ -509,6 +549,13 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
             raise ValueError(
                 "pallas backend implements gradient_mode 'sampled' or "
                 f"'bicubic', not '{gradient_mode}'")
+        if patch_scale is not None:
+            # The warp kernels share one subpixel phase per observation
+            # (integer-aligned patch grid); a per-point scaled grid needs
+            # per-column dynamic lane shifts — deferred. cfg.resolve_backend
+            # routes patchScale to the XLA path.
+            raise ValueError("pallas backend does not implement patchScale; "
+                             "use solverBackend=xla")
         return _evaluate_compressed_pallas(
             cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
             huber_delta, depth_prior, interpret, mode=gradient_mode,
@@ -520,8 +567,10 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
 
     def per_frame(f, t_wc_f, channels_f, grads_f, obs_f):
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
+        rho = (patch_scale_factor(y[:, 2], patch_scale)
+               if patch_scale is not None else None)
         s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets,
-                                          gradient_mode)
+                                          gradient_mode, scale=rho)
         valid = obs_f & in_front & in_bounds                  # (N,)
         s, g = _normalize_sampled(s, g, norm_mode)
         r = (s - patch).reshape(n, -1)                        # (N, D)
