@@ -51,10 +51,13 @@ the Schur/LM machinery is untouched. Disabled when weight == 0.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import camera as cam_mod
 from ..geometry import se3
@@ -414,6 +417,155 @@ def make_pallas_ctx(channels, grads, patch, patch_radius: int,
     return ("sampled", pw_mod.build_interleaved_panels(channels, grads, pr))
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_masks(patch_radius: int):
+    """Lane-selection matrices for the packed kernel layout (numpy 0/1).
+
+    Returns (128, 3G): column c*G + j selects plane c's lanes
+    (wl*j + 3k + c, k < ps) of observation j — exactly the lanes of
+    ops/patch_warp.warp_patches_grouped's output that carry data."""
+    from ..ops import patch_warp as pw_mod
+
+    ps = 2 * patch_radius + 1
+    wl = 3 * (ps + 1)
+    g = pw_mod.packed_group_size(patch_radius)
+    m3 = np.zeros((pw_mod.PANEL_W, 3 * g), np.float32)
+    for j in range(g):
+        for k in range(ps):
+            for c in range(3):
+                m3[wl * j + 3 * k + c, c * g + j] = 1.0
+    return m3
+
+
+def _pack_descriptors(patch, patch_radius: int, n_pad: int):
+    """(N, C, P) reference descriptors -> the packed lane layout
+    (C, GPF, ps, 128): descriptor pixel (py, px) of point j*GPF + g lands
+    at sublane py, lane wl*j + 3*px (the VALUE lane) of group g;
+    gradient/tail lanes are zero. Loop-invariant across LM iterations
+    (XLA hoists it out of the solver while_loop)."""
+    from ..ops import patch_warp as pw_mod
+
+    n, c, p = patch.shape
+    ps = int(round(p ** 0.5))
+    wl = 3 * (ps + 1)
+    g = pw_mod.packed_group_size(patch_radius)
+    gpf = n_pad // g
+    pd = jnp.pad(patch, ((0, n_pad - n), (0, 0), (0, 0)))
+    pd = pd.reshape(g, gpf, c, ps, ps)                     # [j, g, c, py, px]
+    pd = jnp.moveaxis(pd, (2, 1, 3), (0, 1, 2))            # (C, GPF, py, j, px)
+    z = jnp.zeros(pd.shape + (3,), pd.dtype).at[..., 0].set(pd)
+    z = z.reshape(c, gpf, ps, g, 3 * ps)
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wl - 3 * ps)))
+    z = z.reshape(c, gpf, ps, g * wl)
+    return jnp.pad(
+        z, ((0, 0), (0, 0), (0, 0), (0, pw_mod.PANEL_W - g * wl)))
+
+
+def _grouped_stats(packed, n, n_pad, patch_radius: int, norm_mode: str):
+    """Gauss-Newton sufficient statistics straight from the packed kernel
+    layout — the large-N production path (round-3 verdict task 1).
+
+    The alternative (unpack to (N, W, C, P), transpose point-minor, reduce)
+    writes ~56x-padded tiles and pays two relayouts; at 65 536 x 5 that is
+    the measured 70x-above-HBM-floor evaluation. Here the reductions run
+    on the packed (.., ps, 128) tiles directly: plane separation is two
+    static lane rolls (lane wl*j+3k holds v-d, +1 d/dx, +2 d/dy), and the
+    per-observation patch sums are ONE 128->G mask-matrix contraction on
+    the MXU emitting g-minor (dense) outputs.
+
+    `packed` (C, W, GPF, ps, 128) must come from the kernel WITH in-kernel
+    descriptor subtraction and (for norm_mode='mean') in-kernel centering:
+    value lanes hold the final residual r, gradient lanes the centered
+    gradients — so the statistics here are plain products + segment sums
+    with no cancellation-prone mean folding.
+
+    Returns gtg (W, 2, 2, N), gtr (W, 2, N), rnorm2 (W, N) — un-whitened,
+    same contract as the unpack path's pre-whitening statistics."""
+    del norm_mode  # normalization is applied in-kernel
+    c, w, gpf, six, _ = packed.shape
+    m3 = jnp.asarray(_packed_masks(patch_radius))          # (128, 3G)
+    g = m3.shape[1] // 3
+    q = jnp.einsum("cwgsl,lj->cswjg", packed, m3[:, :g])   # (C, 6, W, G, GPF)
+    seg = jnp.sum(q, axis=0).reshape(6, w, n_pad)[:, :, :n]
+    g00, g01, g11, gxr, gyr, rr = seg
+    gtg = jnp.stack([jnp.stack([g00, g01], axis=1),
+                     jnp.stack([g01, g11], axis=1)], axis=1)  # (W, 2, 2, N)
+    gtr = jnp.stack([gxr, gyr], axis=1)                       # (W, 2, N)
+    return gtg, gtr, rr
+
+
+def _observation_geometry_pm(cam, t_wc, x_world):
+    """Point-MINOR observation geometry for all window frames at once.
+
+    The vmapped per-frame `_observation_geometry` builds (N, 2, 9)/(N, 3, 6)
+    intermediates whose tiny trailing dims tile-pad to (8, 128) — at
+    65 536 x 5 that is >1 GB of physical traffic for 23 MB of data (the
+    same layout lesson as CompressedResiduals). Here every quantity is a
+    small stack of (W, N) lane-planes and the A-chain is written closed
+    form (zero entries of jproj/hat dropped).
+
+    Returns y (W, 3, N), uv (W, 2, N), in_front (W, N), a (W, 2, 9, N),
+    r_cw (W, 3, 3)."""
+    t_cw = jax.vmap(se3.se3_inverse)(t_wc)                 # (W, 4, 4)
+    r_cw = t_cw[:, :3, :3]
+    tt = t_cw[:, :3, 3]
+    xt = x_world.T                                         # (3, N)
+    y = (r_cw[:, :, 0, None] * xt[0] + r_cw[:, :, 1, None] * xt[1]
+         + r_cw[:, :, 2, None] * xt[2]) + tt[:, :, None]   # (W, 3, N)
+    xc, yc, zc_raw = y[:, 0], y[:, 1], y[:, 2]             # (W, N)
+    in_front = zc_raw > 1e-6
+    zc = jnp.maximum(zc_raw, 1e-6)
+    iz = 1.0 / zc
+    iz2 = iz * iz
+    u = cam.fx * (xc / zc) + cam.cx
+    v = cam.fy * (yc / zc) + cam.cy
+    uv = jnp.stack([u, v], axis=1)                         # (W, 2, N)
+    zero = jnp.zeros_like(xc)
+    j00 = cam.fx * iz
+    j02 = -cam.fx * xc * iz2
+    j11 = cam.fy * iz
+    j12 = -cam.fy * yc * iz2
+    # A = jproj @ [-I | hat(y) | R_cw], zeros of jproj/hat dropped:
+    #   hat(y) = [[0,-z,y],[z,0,-x],[-y,x,0]]
+    r2 = r_cw[..., None]                                   # (W, 3, 3, 1)
+    row0 = jnp.stack([
+        -j00, zero, -j02,
+        -j02 * yc, -j00 * zc_raw + j02 * xc, j00 * yc,
+        j00 * r2[:, 0, 0] + j02 * r2[:, 2, 0],
+        j00 * r2[:, 0, 1] + j02 * r2[:, 2, 1],
+        j00 * r2[:, 0, 2] + j02 * r2[:, 2, 2]], axis=1)    # (W, 9, N)
+    row1 = jnp.stack([
+        zero, -j11, -j12,
+        j11 * zc_raw - j12 * yc, j12 * xc, -j11 * xc,
+        j11 * r2[:, 1, 0] + j12 * r2[:, 2, 0],
+        j11 * r2[:, 1, 1] + j12 * r2[:, 2, 1],
+        j11 * r2[:, 1, 2] + j12 * r2[:, 2, 2]], axis=1)
+    a = jnp.stack([row0, row1], axis=1)                    # (W, 2, 9, N)
+    return y, uv, in_front, a, r_cw
+
+
+def _prior_terms_pm(r_cw, y, valid, depth_prior, dtype):
+    """Inverse-depth prior rows, point-minor: rp (W, N), jp (W, 9, N).
+    Same math as `_prior_terms` (dz/dpose = [-e_z | hat(y) row 2],
+    dz/dX = R_cw row 2)."""
+    w = y.shape[0]
+    ref_slot, q_seed, wd = depth_prior
+    z = jnp.maximum(y[:, 2], 1e-6)                         # (W, N)
+    f_idx = jnp.arange(w, dtype=ref_slot.dtype)[:, None]
+    m = ((ref_slot[None, :] == f_idx) & valid).astype(dtype)
+    rp = wd * (1.0 / z - q_seed[None]) * m
+    coef = (-wd / (z * z)) * m
+    xc, yc = y[:, 0], y[:, 1]
+    zero = jnp.zeros_like(z)
+    r2 = r_cw[:, 2]                                        # (W, 3)
+    jp = jnp.stack([
+        zero, zero, -coef,
+        coef * (-yc), coef * xc, zero,
+        coef * r2[:, 0, None], coef * r2[:, 1, None], coef * r2[:, 2, None]],
+        axis=1)                                            # (W, 9, N)
+    return rp, jp
+
+
 def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
                                 obs_mask, offsets, huber_delta: float,
                                 depth_prior: tuple | None,
@@ -442,22 +594,19 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
     else:
         lo, hi = pr, 2 + pr
 
-    def per_frame_geom(f, t_wc_f, obs_f):
-        y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
-        in_bounds = ((uv[..., 0] >= lo) & (uv[..., 0] <= img_w - hi) &
-                     (uv[..., 1] >= lo) & (uv[..., 1] <= img_h - hi))
-        valid = obs_f & in_front & in_bounds
-        if use_prior:
-            rp, jp = _prior_terms(f, t_wc_f, y, valid, depth_prior, uv.dtype)
-        else:
-            rp = jnp.zeros((n,), uv.dtype)
-            jp = jnp.zeros((n, 9), uv.dtype)
-        return uv, valid, a, rp, jp
-
-    uv, valid, a, rp, jp = jax.vmap(
-        per_frame_geom, in_axes=(0, 0, 1), out_axes=0
-    )(jnp.arange(w, dtype=jnp.int32), t_wc, obs_mask)
-    # Frame-major geometry: uv (W, N, 2), valid (W, N), a (W, N, 2, 9).
+    # Point-minor geometry for every frame at once (see
+    # _observation_geometry_pm for why not the vmapped per-frame form).
+    y_pm, uv, in_front, a, r_cw = _observation_geometry_pm(cam, t_wc,
+                                                           x_world)
+    in_bounds = ((uv[:, 0] >= lo) & (uv[:, 0] <= img_w - hi) &
+                 (uv[:, 1] >= lo) & (uv[:, 1] <= img_h - hi))
+    valid = obs_mask.T & in_front & in_bounds              # (W, N)
+    if use_prior:
+        rp, jp = _prior_terms_pm(r_cw, y_pm, valid, depth_prior,
+                                 uv.dtype)                 # (W, N), (W, 9, N)
+    else:
+        rp = jnp.zeros((w, n), uv.dtype)
+        jp = jnp.zeros((w, 9, n), uv.dtype)
 
     if ctx is None:
         ctx = make_pallas_ctx(channels, grads, patch, pr, mode=mode)
@@ -465,44 +614,57 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
     if ctx_mode != mode:
         raise ValueError(f"pallas ctx built for mode '{ctx_mode}', "
                          f"evaluation requested '{mode}'")
-    uv_nm = jnp.moveaxis(uv, 0, 1)                         # (N, W, 2)
+    uv_nm = jnp.transpose(uv, (2, 0, 1))                   # (N, W, 2)
     valid_nm = valid.T                                     # (N, W)
-    if mode == "bicubic":
-        s, gx, gy = pw_mod.warp_patches_bicubic(panels, uv_nm, valid_nm, pr,
-                                                interpret=interpret)
-    else:
-        s, gx, gy = pw_mod.warp_patches(panels, uv_nm, valid_nm, pr,
-                                        interpret=interpret)  # (N, W, C, P)
-    # Stats in the point-minor layout (see CompressedResiduals docstring):
-    # every reduction below runs over packed (W, D, N) planes.
-    s = jnp.transpose(s, (1, 2, 3, 0))                     # (W, C, P, N)
-    gx = jnp.transpose(gx, (1, 2, 3, 0))
-    gy = jnp.transpose(gy, (1, 2, 3, 0))
-    patch_t = jnp.transpose(patch, (1, 2, 0))              # (C, P, N)
-    # Same normalization algebra as _normalize_sampled, in this path's
-    # point-minor (W, C, P, N) layout (patch axis = 2).
     norm_mode = patches_mod.norm_mode(normalize)
-    if norm_mode != "off":
-        s = s - jnp.mean(s, axis=2, keepdims=True)
-        gx = gx - jnp.mean(gx, axis=2, keepdims=True)
-        gy = gy - jnp.mean(gy, axis=2, keepdims=True)
-    if norm_mode == "affine":
-        eps = patches_mod.AFFINE_NORM_EPS
-        nn = jnp.sqrt(jnp.sum(s * s, axis=2, keepdims=True) + eps * eps)
-        s = s / nn                                         # ŝ
-        gx = (gx - s * jnp.sum(s * gx, axis=2, keepdims=True)) / nn
-        gy = (gy - s * jnp.sum(s * gy, axis=2, keepdims=True)) / nn
-    r = (s - patch_t[None]).reshape(w, -1, n)              # (W, D, N)
-    gx_c = gx.reshape(w, -1, n)
-    gy_c = gy.reshape(w, -1, n)
-    g00 = jnp.sum(gx_c * gx_c, axis=1)                     # (W, N)
-    g01 = jnp.sum(gx_c * gy_c, axis=1)
-    g11 = jnp.sum(gy_c * gy_c, axis=1)
-    gtg = jnp.stack([jnp.stack([g00, g01], axis=1),
-                     jnp.stack([g01, g11], axis=1)], axis=1)  # (W, 2, 2, N)
-    gtr = jnp.stack([jnp.sum(gx_c * r, axis=1),
-                     jnp.sum(gy_c * r, axis=1)], axis=1)      # (W, 2, N)
-    rnorm2 = jnp.sum(r * r, axis=1)                           # (W, N)
+    use_grouped = (mode == "sampled" and norm_mode in ("mean", "off")
+                   and os.environ.get("PB_GROUPED_STATS", "1") != "0")
+    if use_grouped:
+        # Production path: packed kernel (with in-kernel descriptor
+        # subtraction) + grouped stats, no unpack relayout (round-3
+        # verdict task 1 — see _grouped_stats).
+        _, _, _, n_pad = pw_mod.packed_geometry(n, pr)
+        dpack = _pack_descriptors(patch, pr, n_pad)
+        packed, n_pad = pw_mod.warp_patches_grouped(
+            panels, uv_nm, valid_nm, pr, interpret=interpret, dpack=dpack,
+            center=(norm_mode == "mean"), fuse_stats=True)
+        gtg, gtr, rnorm2 = _grouped_stats(packed, n, n_pad, pr, norm_mode)
+    else:
+        if mode == "bicubic":
+            s, gx, gy = pw_mod.warp_patches_bicubic(
+                panels, uv_nm, valid_nm, pr, interpret=interpret)
+        else:
+            s, gx, gy = pw_mod.warp_patches(
+                panels, uv_nm, valid_nm, pr, interpret=interpret)
+        # Stats in the point-minor layout (see CompressedResiduals
+        # docstring): every reduction runs over packed (W, D, N) planes.
+        s = jnp.transpose(s, (1, 2, 3, 0))                 # (W, C, P, N)
+        gx = jnp.transpose(gx, (1, 2, 3, 0))
+        gy = jnp.transpose(gy, (1, 2, 3, 0))
+        patch_t = jnp.transpose(patch, (1, 2, 0))          # (C, P, N)
+        # Same normalization algebra as _normalize_sampled, in this path's
+        # point-minor (W, C, P, N) layout (patch axis = 2).
+        if norm_mode != "off":
+            s = s - jnp.mean(s, axis=2, keepdims=True)
+            gx = gx - jnp.mean(gx, axis=2, keepdims=True)
+            gy = gy - jnp.mean(gy, axis=2, keepdims=True)
+        if norm_mode == "affine":
+            eps = patches_mod.AFFINE_NORM_EPS
+            nn = jnp.sqrt(jnp.sum(s * s, axis=2, keepdims=True) + eps * eps)
+            s = s / nn                                     # ŝ
+            gx = (gx - s * jnp.sum(s * gx, axis=2, keepdims=True)) / nn
+            gy = (gy - s * jnp.sum(s * gy, axis=2, keepdims=True)) / nn
+        r = (s - patch_t[None]).reshape(w, -1, n)          # (W, D, N)
+        gx_c = gx.reshape(w, -1, n)
+        gy_c = gy.reshape(w, -1, n)
+        g00 = jnp.sum(gx_c * gx_c, axis=1)                 # (W, N)
+        g01 = jnp.sum(gx_c * gy_c, axis=1)
+        g11 = jnp.sum(gy_c * gy_c, axis=1)
+        gtg = jnp.stack([jnp.stack([g00, g01], axis=1),
+                         jnp.stack([g01, g11], axis=1)], axis=1)  # (W,2,2,N)
+        gtr = jnp.stack([jnp.sum(gx_c * r, axis=1),
+                         jnp.sum(gy_c * r, axis=1)], axis=1)      # (W, 2, N)
+        rnorm2 = jnp.sum(r * r, axis=1)                           # (W, N)
 
     rnorm2 = rnorm2 + rp * rp
     vf = valid.astype(gtg.dtype)                              # (W, N)
@@ -511,10 +673,10 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
     wv = w_huber * vf
     sw = jnp.sqrt(w_huber) * vf
     return CompressedResiduals(
-        a=jnp.transpose(a, (0, 2, 3, 1)),                     # (W, 2, 9, N)
+        a=a,                                                  # (W, 2, 9, N)
         gtg=gtg * wv[:, None, None, :],
         gtr=gtr * wv[:, None, :],
-        jp=jnp.moveaxis(jp, 1, -1) * sw[:, None, :],
+        jp=jp * sw[:, None, :],
         rp=rp * sw,
         valid=valid_nm,
         cost=0.5 * jnp.sum(rho * vf),

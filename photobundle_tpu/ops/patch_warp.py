@@ -267,6 +267,264 @@ def warp_patches_bicubic(panels: jax.Array, uv: jax.Array, valid: jax.Array,
     return s, gx, gy
 
 
+def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
+                        out_ref, *, gchunk: int, patch_radius: int,
+                        g_obs: int, sub_d: bool, center: bool,
+                        fuse_stats: bool = False):
+    """Round-4 variant: G = 128 // (3*(ps+1)) observations are LANE-PACKED
+    into each vector op. The round-3 'rows' kernel spends ~20 VPU ops per
+    observation on (win, 128) tiles of which only 3*win = 18 lanes carry
+    data — issue-bound at ~14-22 ns/obs, which at 65 536 x 5 obs is 70x the
+    eval's HBM floor (round-3 verdict task 1). Here each observation's
+    rolled window lands at lane offset 18*j of a shared accumulator
+    (load + roll + masked select per obs = 3 ops), the bilinear weights
+    arrive as PRECOMPUTED lane vectors (XLA-side repeat, one (2, 128) VMEM
+    row per group), and the 4-tap combine + store amortize over the G
+    packed observations — ~5 ops/obs.
+
+    Bitwise-identical to the 'rows' kernel: same loads, exact lane rolls,
+    and the combine multiplies/adds in the same order with the same
+    f32 weight products."""
+    ps = 2 * patch_radius + 1
+    win = ps + 1
+    wl = 3 * win
+    lane = jax.lax.broadcasted_iota(jnp.int32, (win, PANEL_W), 1)
+    masks = [(lane >= wl * j) & (lane < wl * (j + 1)) for j in range(g_obs)]
+    if center:
+        # Segment-mean matrix: (colsum @ mseg)[l] = sum of the SAME plane's
+        # ps valid patch-column sums in l's observation segment — exact
+        # per-patch mean removal in ONE tiny MXU op (a lane roll-tree costs
+        # ~20 VPU issues/group; measured +2.5 ms at 65k x 5).
+        li = jax.lax.broadcasted_iota(jnp.int32, (PANEL_W, PANEL_W), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (PANEL_W, PANEL_W), 1)
+        mseg = (((li // wl) == (lj // wl)) & (((lj - li) % 3) == 0)
+                & ((li % wl) < 3 * ps)).astype(jnp.float32)
+        inv_p = 1.0 / float(ps * ps)
+
+    def one(g):
+        # Masked-zero + tree sum (NOT a select chain: that would serialize
+        # the per-observation load/roll dependency graph; the disjoint-lane
+        # masked parts are independent, so the compiler can overlap all G
+        # loads+rolls).
+        parts = []
+        for j in range(g_obs):
+            i = g * g_obs + j
+            y0 = y_ref[0, 0, i]
+            p = pan_ref[0, 0, i]
+            o = off_ref[0, 0, i]
+            rows = img_ref[0, 0, p, pl.ds(y0, win), :]     # (win, 128)
+            wnd = pltpu.roll(rows, wl * j - o, 1)
+            parts.append(jnp.where(masks[j], wnd, 0.0) if g_obs > 1 else wnd)
+        while len(parts) > 1:
+            parts = [a + b for a, b in zip(parts[::2], parts[1::2])] + (
+                [parts[-1]] if len(parts) % 2 else [])
+        acc = parts[0]
+        fx = fxl_ref[0, g, 0, :]                           # (128,) lane vec
+        fy = fxl_ref[0, g, 1, :]
+        w00 = (1.0 - fx) * (1.0 - fy)
+        w01 = fx * (1.0 - fy)
+        w10 = (1.0 - fx) * fy
+        w11 = fx * fy
+        r3 = pltpu.roll(acc, PANEL_W - 3, 1)               # the +3-lane taps
+        s3 = (w00 * acc[:ps, :] + w01 * r3[:ps, :]
+              + w10 * acc[1:, :] + w11 * r3[1:, :])        # (ps, 128)
+        if sub_d:
+            # Pre-packed reference descriptor (value lanes only, zero on
+            # gradient lanes): value lanes now hold v - d, so downstream
+            # residual statistics are products of SMALL quantities.
+            s3 = s3 - dpk_ref[0, g]
+        if center:
+            # Per-patch mean removal (cfg.normalizePatches), per plane —
+            # planes live on disjoint lanes, so one segment-mean matmul
+            # centers value AND both gradients at once. Subtracting d
+            # first shifts the value mean by mean(d) = 0 (mean-normalized
+            # descriptors), so (v - d) - mean(v - d) == (v - mean v) - d.
+            colsum = jnp.sum(s3, axis=0, keepdims=True)     # (1, 128)
+            mean_vec = jax.lax.dot_general(
+                colsum, mseg, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)         # (1, 128)
+            s3 = s3 - mean_vec * inv_p
+        if fuse_stats:
+            # Emit the six Gauss-Newton product row-sums instead of the
+            # samples: rows [gx*gx, gx*gy, gy*gy, gx*r, gy*r, r*r], each
+            # (1, 128) with observation j's per-column partial sums on its
+            # wl*j+3k value lanes (core/residuals._grouped_stats contracts
+            # them 128 -> G on the MXU). r = centered (v - d) at value
+            # lanes; t1/t2 = the +1/+2 lane rolls putting gx/gy there.
+            t1 = pltpu.roll(s3, PANEL_W - 1, 1)
+            t2 = pltpu.roll(s3, PANEL_W - 2, 1)
+            out_ref[0, g] = jnp.concatenate(
+                [jnp.sum(t1 * t1, axis=0, keepdims=True),
+                 jnp.sum(t1 * t2, axis=0, keepdims=True),
+                 jnp.sum(t2 * t2, axis=0, keepdims=True),
+                 jnp.sum(t1 * s3, axis=0, keepdims=True),
+                 jnp.sum(t2 * s3, axis=0, keepdims=True),
+                 jnp.sum(s3 * s3, axis=0, keepdims=True)], axis=0)
+        else:
+            out_ref[0, g] = s3
+
+    unroll = next(u for u in (4, 2, 1) if gchunk % u == 0)
+
+    def body(g, _):
+        for u in range(unroll):
+            one(g * unroll + u)
+        return 0
+
+    jax.lax.fori_loop(0, gchunk // unroll, body, 0, unroll=False)
+
+
+def packed_group_size(patch_radius: int) -> int:
+    """Observations lane-packed per 128-lane group: G = 128 // (3*(ps+1))."""
+    return PANEL_W // (3 * (2 * patch_radius + 2))
+
+
+def packed_geometry(n: int, patch_radius: int, gchunk: int = 32):
+    """Padding plan for the packed kernel: (g_obs, gchunk, gpf, n_pad).
+
+    Points are padded so each frame is a whole number of `gchunk`-group
+    grid steps of `g_obs` lane-packed observations each."""
+    g_obs = packed_group_size(patch_radius)
+    gchunk = min(gchunk, max(1, -(-n // g_obs)))
+    gpf = gchunk * (-(-n // (g_obs * gchunk)))             # groups per frame
+    return g_obs, gchunk, gpf, gpf * g_obs
+
+
+def warp_patches_grouped(panels, uv, valid, patch_radius: int,
+                         interpret: bool = False, gchunk: int = 32,
+                         dpack=None, center: bool = False,
+                         fuse_stats: bool = False):
+    """Run the lane-packed kernel and return the RAW packed output.
+
+    Returns (packed, n_pad) with packed (C, W, GPF, ps, 128): group g of
+    frame f holds observations (j * GPF + g, f) for j < G at lane offsets
+    wl*j (wl = 3*(ps+1)); lane wl*j + 3*k + c is plane c (0=value, 1=d/dx,
+    2=d/dy) of patch column k (k < ps valid; the k = ps column and the
+    tail lanes >= G*wl are garbage). Patch row = sublane index.
+
+    The point -> (j, g) assignment is INTERLEAVED (point n = j * GPF + g)
+    so the downstream 128->G mask-contraction can emit j-major/g-minor
+    (.., G, GPF) outputs whose flatten IS point order with the large GPF
+    axis minor — a dense TPU layout. A g-major assignment would need
+    j-minor outputs, whose 7-wide minor dim tile-pads 18x.
+
+    dpack: optional (C, GPF, ps, 128) pre-packed reference descriptors
+    (core/residuals._pack_descriptors); when given, the kernel subtracts
+    them after the bilinear combine, so value lanes hold v - d.
+
+    This is the production large-N layout: consuming the statistics
+    directly from it (core/residuals grouped-stats path) avoids both the
+    15->128 lane padding of the 'rows' variant output (~56x physical
+    write inflation) and the (N, W, C, P) unpack relayouts.
+    """
+    n, w, _ = uv.shape
+    c = panels.shape[1]
+    n_pan = panels.shape[2]
+    h = panels.shape[3]
+    stride = lane_stride(patch_radius)
+    ps = 2 * patch_radius + 1
+    win = ps + 1
+    wl = 3 * win
+    g_obs, gchunk, gpf, n_pad = packed_geometry(n, patch_radius, gchunk)
+    steps_per_frame = gpf // gchunk
+    n_steps = w * steps_per_frame
+
+    x = jnp.where(valid, uv[..., 0], 0.0)
+    y = jnp.where(valid, uv[..., 1], 0.0)
+    pad = ((0, n_pad - n), (0, 0))
+    x = jnp.pad(x, pad)
+    y = jnp.pad(y, pad)
+    x0 = jnp.floor(x).astype(jnp.int32) - patch_radius
+    y0 = jnp.floor(y).astype(jnp.int32) - patch_radius
+    fx = (x - jnp.floor(x)).astype(jnp.float32)
+    fy = (y - jnp.floor(y)).astype(jnp.float32)
+    max_lane0 = (n_pan - 1) * stride + PANEL_W - wl
+    lane0 = jnp.clip(3 * x0, 0, max_lane0)
+    y0 = jnp.clip(y0, 0, h - win)
+    pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
+    off = (lane0 - pan * stride).astype(jnp.int32)
+
+    def groups(a):  # (N_pad, W) -> (W, GPF, G): [w, g, j] = point j*GPF+g
+        return jnp.moveaxis(a, 0, 1).reshape(w, g_obs, gpf).swapaxes(1, 2)
+
+    def fm(a):  # (N_pad, W) -> frame-major (n_steps, 1, gchunk * G)
+        return groups(a).reshape(n_steps, 1, gchunk * g_obs)
+
+    def lanes(a):  # (N_pad, W) -> per-group lane vectors (groups, 128)
+        gm = groups(a).reshape(w * gpf, g_obs)
+        lv = jnp.repeat(gm, wl, axis=1)                    # (groups, G*wl)
+        return jnp.pad(lv, ((0, 0), (0, PANEL_W - g_obs * wl)))
+
+    fxl = jnp.stack([lanes(fx), lanes(fy)], axis=1)        # (groups, 2, 128)
+    fxl = fxl.reshape(n_steps, gchunk, 2, PANEL_W)
+
+    smem_vec = lambda: pl.BlockSpec(
+        (1, 1, gchunk * g_obs), lambda ci, s: (s, 0, 0),
+        memory_space=pltpu.SMEM)
+    in_specs = [
+        smem_vec(),  # y0
+        smem_vec(),  # panel
+        smem_vec(),  # lane offset
+        pl.BlockSpec((1, gchunk, 2, PANEL_W), lambda ci, s: (s, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pan, h, PANEL_W),
+                     lambda ci, s: (s // steps_per_frame, ci, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [fm(y0), fm(pan), fm(off), fxl, panels.astype(jnp.float32)]
+    if dpack is not None:
+        in_specs.append(
+            pl.BlockSpec((1, gchunk, ps, PANEL_W),
+                         lambda ci, s: (ci, s % steps_per_frame, 0, 0),
+                         memory_space=pltpu.VMEM))
+        inputs.append(dpack.astype(jnp.float32))
+        kern = functools.partial(_warp_kernel_packed, gchunk=gchunk,
+                                 patch_radius=patch_radius, g_obs=g_obs,
+                                 sub_d=True, center=center,
+                                 fuse_stats=fuse_stats)
+    else:
+        base = functools.partial(_warp_kernel_packed, gchunk=gchunk,
+                                 patch_radius=patch_radius, g_obs=g_obs,
+                                 sub_d=False, center=center,
+                                 fuse_stats=fuse_stats)
+        kern = lambda y, p, o, f, i, out: base(y, p, o, f, i, None, out)
+    rows_out = 6 if fuse_stats else ps
+    out = pl.pallas_call(
+        kern,
+        grid=(c, n_steps),  # channel-major so panel blocks are reused
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, gchunk, rows_out, PANEL_W),
+                               lambda ci, s: (ci, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, w * gpf, rows_out, PANEL_W),
+                                       jnp.float32),
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(c, w, gpf, rows_out, PANEL_W), n_pad
+
+
+def _warp_patches_packed(panels, uv, valid, patch_radius: int,
+                         interpret: bool):
+    """Unpack the grouped kernel output back to (N, W, C, psy, psx, 3) —
+    parity/benchmark wrapper only; the unpack relayouts cost more than the
+    kernel at large N (use warp_patches_grouped + grouped stats there)."""
+    n, w, _ = uv.shape
+    c = panels.shape[1]
+    ps = 2 * patch_radius + 1
+    win = ps + 1
+    wl = 3 * win
+    g_obs, _, gpf, n_pad = packed_geometry(n, patch_radius)
+    out, _ = warp_patches_grouped(panels, uv, valid, patch_radius, interpret)
+    # (C, W, GPF, PS, 128): lanes [wl*j : wl*j + 3ps) hold obs j's combined
+    # (v, gx, gy)-interleaved row; the wl*j+3ps.. tail lanes are garbage.
+    out = out[..., :g_obs * wl].reshape(c, w, gpf, ps, g_obs, win, 3)
+    out = out[..., :ps, :]
+    # Interleaved assignment: point n = j * GPF + g -> (G, GPF) major order.
+    out = jnp.moveaxis(out, (4, 2, 1, 0), (0, 1, 2, 3))  # (G, GPF, W, C, ..)
+    out = out.reshape(n_pad, w, c, ps, ps, 3)[:n]
+    return out
+
+
 def _warp_kernel_block(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, out_ref, *,
                        chunk: int, patch_radius: int, raw: bool):
     """Round-2 variants of _warp_kernel with ONE store per observation
@@ -317,21 +575,39 @@ def warp_patches(panels: jax.Array, uv: jax.Array, valid: jax.Array,
       uv: (N, W, 2) projected pixel coordinates (x, y).
       valid: (N, W) bool; invalid coords are clamped (mask downstream).
       patch_radius: R.
-      variant: kernel store layout (tools/bench_warp_kernel.py, v5e,
-        4096 x 5 obs):
-        'rows':  round-1 kernel, ps row stores per obs — 14.5 ns/obs,
-                 MEASURED FASTEST and the default,
+      variant: kernel structure (tools/bench_warp_kernel.py, v5e,
+        4096 x 5 obs unless noted):
+        'rows':  round-1 kernel, one obs per vector op, ps row stores —
+                 14.5 ns/obs at 4k, degrading to ~16 ns/obs at 65k; the
+                 default for THIS (N, W, C, P)-returning API,
+        'packed': round-4 kernel, G = 128 // (3*(ps+1)) observations
+                 lane-packed per vector op (~9 ns/obs at 65k in-kernel,
+                 bitwise-identical outputs to 'rows') — but the unpack
+                 back to (N, W, C, P) costs MORE than the kernel saves,
+                 so through this API it is parity/benchmark only. The
+                 production consumer is warp_patches_grouped + the
+                 grouped-stats path (core/residuals), which never unpacks,
         'block': one (ps, 3ps) tile store per observation — 16.7 ns/obs
                  (the padded (8,128) tile store costs more than 5 row
                  stores),
         'raw':   store the rolled (win, 3win) integer window, bilinear
                  combine in XLA downstream — 20.9 ns/obs.
-        Round-2 finding: the kernel is ~0.3 ms of a ~2.5 ms LM iteration —
-        NOT the bottleneck round 1 assumed (see BASELINE.md roofline).
+        Round-2 finding: the kernel is ~0.3 ms of a ~2.5 ms LM iteration at
+        4096x5 — but at 65 536x5 the eval IS the bottleneck (70x its HBM
+        floor, round-3 verdict), which the grouped path fixes.
 
     Returns (s, gx, gy), each (N, W, C, P) with P = (2R+1)^2.
     """
     n, w, _ = uv.shape
+    if variant == "packed":
+        out = _warp_patches_packed(panels, uv, valid, patch_radius,
+                                   interpret)
+        ps = 2 * patch_radius + 1
+        c = panels.shape[1]
+        s = out[..., 0].reshape(n, w, c, ps * ps)
+        gx = out[..., 1].reshape(n, w, c, ps * ps)
+        gy = out[..., 2].reshape(n, w, c, ps * ps)
+        return s, gx, gy
     c = panels.shape[1]
     n_pan = panels.shape[2]
     h = panels.shape[3]

@@ -138,3 +138,70 @@ def test_kernel_multichannel(rng):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out.gtr), np.asarray(ref.gtr),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("patch_radius", [1, 2])
+def test_packed_variant_bitwise_matches_rows(rng, patch_radius):
+    """The lane-packed kernel ('packed') performs the same loads, exact
+    lane rolls, and the same-order f32 bilinear combine as 'rows' — outputs
+    must be BITWISE identical, including at N not divisible by the group
+    size (padding exercised)."""
+    from photobundle_tpu.ops import patch_warp as pw
+
+    g = pw.packed_group_size(patch_radius)
+    for n_pts in (g * 3, g * 2 + 3, 5):
+        cam, t_wc, x, patch, ch, grads, obs, off = setup_problem(
+            rng, n_pts=n_pts, w=2, radius=patch_radius)
+        panels = pw.build_interleaved_panels(ch, grads, patch_radius)
+        uv = jnp.asarray(
+            rng.uniform([8.0, 8.0], [ch.shape[-1] - 8.0, ch.shape[-2] - 8.0],
+                        size=(n_pts, 2, 2)).astype(np.float32))
+        valid = jnp.ones((n_pts, 2), bool)
+        ref = pw.warp_patches(panels, uv, valid, patch_radius,
+                              interpret=True, variant="rows")
+        out = pw.warp_patches(panels, uv, valid, patch_radius,
+                              interpret=True, variant="packed")
+        for a, b, name in zip(out, ref, ("s", "gx", "gy")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+
+def test_grouped_stats_matches_xla_unnormalized(rng):
+    """Grouped-stats path under normalize=False (raw patches) vs XLA."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=13, w=3)
+    from photobundle_tpu.image import patches as patches_mod
+
+    raw_patch = patch + 0.25  # undo any zero-mean structure; raw compare
+    kw = dict(huber_delta=0.07, gradient_mode="sampled", normalize=False)
+    ref = res_mod.evaluate_compressed(cam, t_wc, x + 0.01, raw_patch, ch, g,
+                                      obs, off, backend="xla", **kw)
+    out = res_mod.evaluate_compressed(cam, t_wc, x + 0.01, raw_patch, ch, g,
+                                      obs, off, backend="pallas",
+                                      interpret=True, **kw)
+    np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.gtg), np.asarray(ref.gtg),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.gtr), np.asarray(ref.gtr),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_grouped_stats_padding_isolation(rng):
+    """Stats for the real points are unaffected by the group padding: the
+    same problem evaluated at N and at N+extra (extra points masked
+    invalid) must give identical real-point statistics."""
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=9, w=3)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled")
+    base = res_mod.evaluate_compressed(cam, t_wc, x, patch, ch, g, obs, off,
+                                       backend="pallas", interpret=True, **kw)
+    # Append 4 garbage points, masked out.
+    x2 = jnp.concatenate([x, x[:4] + 50.0])
+    patch2 = jnp.concatenate([patch, patch[:4]])
+    obs2 = jnp.concatenate([obs, jnp.zeros((4, 3), bool)])
+    ext = res_mod.evaluate_compressed(cam, t_wc, x2, patch2, ch, g, obs2,
+                                      off, backend="pallas", interpret=True,
+                                      **kw)
+    np.testing.assert_allclose(float(ext.cost), float(base.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ext.gtg[..., :9]),
+                               np.asarray(base.gtg), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ext.gtr[..., :9]),
+                               np.asarray(base.gtr), atol=1e-6)

@@ -26,15 +26,47 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 W = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 H, WI = 370, 1226
 R = 2
-K = 30
+# Chain enough iterations that the phase cost dwarfs the tunnel RTT —
+# at 4096 x 5 the round-4 eval is ~0.2 ms so K = 30 (the round-3 value)
+# left every phase BELOW one RTT and the subtraction printed noise.
+K = int(sys.argv[3]) if len(sys.argv) > 3 else max(30, (1 << 22) // N)
 
 
 HBM_GBPS = 820.0  # v5e
 
 
+def measure_rtt() -> float:
+    """Per-call host->device->host round trip (dispatch + tunnel), measured
+    instead of the stale 36 ms constant."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    _ = float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+RTT = None  # set in main()
+
+
 def tree_bytes(t) -> int:
     return sum(a.size * a.dtype.itemsize
                for a in jax.tree.leaves(t) if hasattr(a, "dtype"))
+
+
+def consume(tree):
+    """Fold EVERY output leaf into the timing accumulator. Consuming a
+    single element (the round-3 tool) lets XLA dead-code-eliminate the
+    rest of the phase — build_normal_equations measured NEGATIVE. The
+    jnp.sum passes add one HBM read of the outputs (~45 MB at 65k, ~0.05
+    ms) — a small, uniform overestimate instead of an unbounded
+    underestimate."""
+    return sum(jnp.sum(a) for a in jax.tree.leaves(tree)
+               if hasattr(a, "dtype") and
+               jnp.issubdtype(a.dtype, jnp.floating))
 
 
 def timeit(name, fn, *args, touched_bytes=None):
@@ -51,7 +83,7 @@ def timeit(name, fn, *args, touched_bytes=None):
         out = jfn(*args)
         _ = float(jnp.asarray(out).ravel()[0])
         times.append(time.perf_counter() - t0)
-    t = (min(times) - 0.036) / K
+    t = (min(times) - RTT) / K
     floor = ""
     if touched_bytes is not None:
         floor_ms = touched_bytes / (HBM_GBPS * 1e9) * 1e3
@@ -62,6 +94,9 @@ def timeit(name, fn, *args, touched_bytes=None):
 
 
 def main():
+    global RTT
+    RTT = measure_rtt()
+    print(f"[K={K} chained iters; measured RTT {RTT * 1e3:.1f} ms]")
     cam, offsets, args = _make_problem(N, W, H, WI, R, seed=1)
     t_wc, x_world, patch, channels, grads, obs, pv, frozen = args
     obs = obs & pv[:, None]
@@ -72,7 +107,7 @@ def main():
             res = evaluate_compressed(cam, t_wc, x0 + 1e-4 * i, patch,
                                       channels, grads, obs, offsets, 0.05,
                                       backend="pallas", ctx=ctx)
-            return acc + res.cost
+            return acc + consume(res)
         return jax.lax.fori_loop(0, K, body, 0.0)
 
     res0 = evaluate_compressed(cam, t_wc, x_world, patch, channels, grads,
@@ -95,7 +130,7 @@ def main():
         def body(i, acc):
             eq = schur.build_normal_equations_compressed(
                 res0._replace(gtr=gtr0 + 1e-6 * i), backend=asm_backend)
-            return acc + eq.bc[0, 0]
+            return acc + consume(eq)
         return jax.lax.fori_loop(0, K, body, 0.0)
 
     eq0 = schur.build_normal_equations_compressed(res0)
@@ -108,7 +143,7 @@ def main():
                 eq0._replace(bc=bc0 + 1e-6 * i), jnp.asarray(1e-4), pv,
                 frozen)
             dc, dp = schur.solve_reduced(sys_parts)
-            return acc + dc[0, 0] + dp[0, 0]
+            return acc + consume((dc, dp))
         return jax.lax.fori_loop(0, K, body, 0.0)
 
     timeit("schur reduce+solve", schur_k, eq0.bc,

@@ -32,7 +32,7 @@ def main():
         rng.uniform([8, 8], [WI - 8, H - 8], size=(N, W, 2)).astype(np.float32))
     valid = jnp.ones((N, W), bool)
 
-    for variant in ("rows", "block", "raw"):
+    for variant in ("packed", "rows", "block", "raw"):
         def chained(u0):
             def body(i, acc):
                 s, gx, gy = pw.warp_patches(
