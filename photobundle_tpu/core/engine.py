@@ -328,7 +328,10 @@ class PhotometricBundleAdjustment:
 
         def solve(cam, prior_scale, max_iter, anchor,
                   t_wc0, x_world0, patch, channels, grads, obs, pv, frz,
-                  ref_slot_s, seed_s, reduce_fn=None):
+                  ref_slot_s, seed_s, reduce_fn=None, scale_seed=None):
+            # scale_seed: patchScale inverse-depth seed when it differs
+            # from the depth-prior seed (coarse levels re-extract the
+            # template at the CURRENT ref depth — see the c2f loop).
             depth_prior = (
                 (ref_slot_s, seed_s, prior_scale)
                 if cfg.depthPriorWeight > 0 else None
@@ -342,7 +345,8 @@ class PhotometricBundleAdjustment:
                 backend=cfg.resolve_backend(),
                 normalize=cfg.resolve_normalization(),
                 depth_prior=depth_prior,
-                patch_scale=(seed_s if cfg.patchScale else None),
+                patch_scale=((scale_seed if scale_seed is not None
+                              else seed_s) if cfg.patchScale else None),
                 motion_prior_weight=cfg.motionPriorWeight,
                 motion_prior_anchor=anchor,
                 pose_prior=((window.t_vo, cfg.posePriorWeight,
@@ -392,12 +396,12 @@ class PhotometricBundleAdjustment:
                 y = x_cur @ t_cw[:3, :3].T + t_cw[:3, 3]
                 uv, in_front = cam_mod.project(cam_k, y)
                 p, ok = patches_mod.extract_patches(ch_f, uv, self.offsets)
-                return p, ok & in_front
+                return p, ok & in_front, y[:, 2]
 
             t_frames = (jax.lax.dynamic_slice_in_dim(
                 t_cur, shard_ctx.frame_offset, w_local, 0)
                 if frames_sharded else t_cur)
-            p_all, ok_all = jax.vmap(per_frame)(t_frames, ch_k)
+            p_all, ok_all, z_all = jax.vmap(per_frame)(t_frames, ch_k)
             # p_all (W_local, N, C, P); ok_all (W_local, N). Pick each
             # point's REF-frame patch. Under frames sharding this is a
             # cross-shard gather: exactly one shard owns a point's ref
@@ -415,11 +419,24 @@ class PhotometricBundleAdjustment:
             patch_k = patches_mod.normalize_patches(
                 p_ref, cfg.resolve_normalization())
             pv_k = point_valid & ok_ref & (ref_slot >= 0)
+            if cfg.patchScale:
+                # The template was just RE-extracted at the point's CURRENT
+                # ref-frame depth, so the self-consistent patchScale seed is
+                # 1/z_ref_current, not the stereo seed (which would leave a
+                # nonzero ref-frame residual at the linearization point once
+                # optimized depth drifts from the seed). The depth PRIOR in
+                # solve() still anchors to points.inv_depth_seed.
+                z_ref = jnp.sum(jnp.where(sel, z_all, 0.0), axis=0)
+                if frames_sharded:
+                    z_ref = shard_ctx.reduce_frames(z_ref)
+                scale_seed = 1.0 / jnp.maximum(z_ref, 1e-6)
+            else:
+                scale_seed = None
             t_cur, x_cur, _ = solve(
                 cam_k, self._prior_scale * (0.5 ** k), cfg.coarseIterations,
                 anchor, t_cur, x_cur, patch_k, ch_k, grads_k, points.obs,
                 pv_k, frozen, ref_slot, points.inv_depth_seed,
-                reduce_fn=reduce_fn)
+                reduce_fn=reduce_fn, scale_seed=scale_seed)
 
         if self._n_coarse > 0:
             # Warm-start guard: a coarse level optimizes ITS OWN objective

@@ -319,15 +319,20 @@ def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
             parts = [a + b for a, b in zip(parts[::2], parts[1::2])] + (
                 [parts[-1]] if len(parts) % 2 else [])
         acc = parts[0]
-        fx = fxl_ref[0, g, 0, :]                           # (128,) lane vec
-        fy = fxl_ref[0, g, 1, :]
-        w00 = (1.0 - fx) * (1.0 - fy)
-        w01 = fx * (1.0 - fy)
+        # Weights as full (win, 128) tiles: ONE sublane broadcast per
+        # fx/fy instead of an implicit broadcast per product (measured
+        # ~3% at 65k; values and product order unchanged — bitwise
+        # identical to the per-lane-vector form).
+        fx = jnp.broadcast_to(fxl_ref[0, g, 0:1, :], (win, PANEL_W))
+        fy = jnp.broadcast_to(fxl_ref[0, g, 1:2, :], (win, PANEL_W))
+        one_fy = 1.0 - fy
+        w00 = (1.0 - fx) * one_fy
+        w01 = fx * one_fy
         w10 = (1.0 - fx) * fy
         w11 = fx * fy
         r3 = pltpu.roll(acc, PANEL_W - 3, 1)               # the +3-lane taps
-        s3 = (w00 * acc[:ps, :] + w01 * r3[:ps, :]
-              + w10 * acc[1:, :] + w11 * r3[1:, :])        # (ps, 128)
+        s3 = (w00[:ps] * acc[:ps, :] + w01[:ps] * r3[:ps, :]
+              + w10[:ps] * acc[1:, :] + w11[:ps] * r3[1:, :])  # (ps, 128)
         if sub_d:
             # Pre-packed reference descriptor (value lanes only, zero on
             # gradient lanes): value lanes now hold v - d, so downstream
@@ -364,14 +369,13 @@ def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
         else:
             out_ref[0, g] = s3
 
-    unroll = next(u for u in (4, 2, 1) if gchunk % u == 0)
-
-    def body(g, _):
-        for u in range(unroll):
-            one(g * unroll + u)
-        return 0
-
-    jax.lax.fori_loop(0, gchunk // unroll, body, 0, unroll=False)
+    # FULLY unrolled: a lax.fori_loop here makes every per-group index
+    # dynamic (SMEM scalar reads, fxl loads, the out store) and costs 2.1x
+    # measured at 65 536 x 5 (6.9 -> 3.28 ms/eval, benchlogs/r4_ablate.log)
+    # — with static indices Mosaic software-pipelines the whole straight
+    # -line group sequence.
+    for g in range(gchunk):
+        one(g)
 
 
 def packed_group_size(patch_radius: int) -> int:

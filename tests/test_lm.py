@@ -343,3 +343,71 @@ def test_lm_redescending_loss_rejects_gross_outliers(rng):
     # is dragged by the corrupted block.
     assert errs["tukey"] < errs["none"], errs
     assert errs["cauchy"] < errs["none"], errs
+
+
+def test_lm_initial_cost_equals_eval_plus_prior_cost(rng):
+    """Objective-equality invariant: lm_solve's reported initial cost is
+    EXACTLY evaluate_compressed().cost + prior_cost() for the same inputs.
+    The engine's coarse-to-fine warm-start guard reconstructs the solver
+    objective from those two pieces (engine.fine_cost); if the solver ever
+    counts a term the guard does not (or vice versa), the guard silently
+    compares the wrong objective."""
+    from photobundle_tpu.core import residuals as res_mod
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=16, w=4)
+    rng2 = np.random.default_rng(5)
+    t0 = t_wc.at[1:, :3, 3].add(
+        jnp.asarray(rng2.normal(0, 3e-3, size=(3, 3)), jnp.float32))
+    anchor = se3.se3_inverse(t0[:-1]) @ t0[1:]
+    pp = (t_wc, 2.0, 4.0)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled", backend="xla")
+    frozen = jnp.asarray([True, False, False, False])
+    _, _, stats = lm.lm_solve(
+        cam, t0, x, patch, ch, g, obs, jnp.ones((x.shape[0],), bool),
+        frozen, off, motion_prior_weight=3.0, motion_prior_anchor=anchor,
+        pose_prior=pp, max_iterations=1, **kw)
+    res = res_mod.evaluate_compressed(cam, t0, x, patch, ch, g, obs, off,
+                                      0.07, "sampled", backend="xla")
+    expect = float(res.cost) + float(lm.prior_cost(
+        t0, motion_prior_weight=3.0, rel0=anchor, pose_prior=pp))
+    assert float(stats.initial_cost) == pytest.approx(expect, rel=1e-6, abs=0)
+
+
+def test_tukey_with_affine_normalization_composes(rng):
+    """robustLoss=tukey + patchNormalization=affine both rescale residual
+    norms (tukey's redescending cutoff acts on the affine-normalized,
+    O(1)-scale residuals). Pin the composition: the full/compressed paths
+    agree, gross photometric outliers are suppressed, and the combination
+    converges."""
+    from photobundle_tpu.core import residuals as res_mod, schur
+    from photobundle_tpu.image import patches as pm
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=24, w=3)
+    patch = pm.affine_normalize(patch)
+    # Corrupt a block of one frame: gross occlusion-style outlier.
+    ch = ch.at[1, :, 30:60, 40:90].set(1.0)
+    kw = dict(huber_delta=0.3, robust_kind="tukey",
+              gradient_mode="sampled", normalize="affine")
+    full = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off, **kw)
+    comp = res_mod.evaluate_compressed(cam, t_wc, x, patch, ch, g, obs, off,
+                                       backend="xla", **kw)
+    np.testing.assert_allclose(float(comp.cost), float(full.cost), rtol=1e-5)
+    eq_a = schur.to_point_major(schur.build_normal_equations_compressed(comp))
+    eq_b = schur.build_normal_equations(full)
+    for name in ("hpp", "hpc", "hcc", "bp", "bc"):
+        np.testing.assert_allclose(np.asarray(getattr(eq_a, name)),
+                                   np.asarray(getattr(eq_b, name)),
+                                   atol=2e-3, rtol=1e-3, err_msg=name)
+    # Tukey on affine-normalized residuals: each residual norm is <= ~2
+    # (unit-normalized patches), so delta=0.3 must leave most inliers at
+    # weight ~1 while zero-weighting the corrupted block. Weights must be
+    # computed from RAW (un-whitened) norms — full.r is already scaled by
+    # sqrt(w_tukey).
+    raw = res_mod.evaluate(cam, t_wc, x, patch, ch, g, obs, off,
+                           huber_delta=0.3, robust_kind="none",
+                           gradient_mode="sampled", normalize="affine")
+    rn2 = jnp.sum(raw.r * raw.r, axis=-1)
+    w_t, _ = res_mod.robust_weight(rn2, 0.3, "tukey")
+    w_live = w_t[np.asarray(raw.valid)]
+    assert float(jnp.max(w_live)) > 0.9     # inliers keep full weight
+    assert float(jnp.min(w_live)) == 0.0    # outlier block fully cut

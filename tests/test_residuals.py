@@ -440,3 +440,120 @@ def test_affine_compressed_matches_full(rng):
                                        np.asarray(getattr(eq_b, name)),
                                        atol=2e-3, rtol=1e-3,
                                        err_msg=f"{backend}:{name}")
+
+
+# ---------------------------------------------------------------------------
+# patchScale (cfg.patchScale): depth-ratio patch-grid scaling
+# ---------------------------------------------------------------------------
+
+def _exact_scale_problem(rng, n_pts=10, w=3, radius=2, z0=2.0):
+    """Identity-pose problem with every point at EXACT camera depth z0 (a
+    power of two), so rho = 1/(seed*z) takes exact values for power-of-two
+    seeds and bitwise comparisons are meaningful."""
+    from photobundle_tpu.geometry import camera as cam_mod
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(
+        rng, n_pts=n_pts, w=w, radius=radius)
+    wn = t_wc.shape[0]
+    t_id = jnp.tile(jnp.eye(4, dtype=t_wc.dtype)[None], (wn, 1, 1))
+    h, wi = ch.shape[-2], ch.shape[-1]
+    uv = rng.uniform([24.0, 24.0], [wi - 24.0, h - 24.0],
+                     size=(n_pts, 2)).astype(np.float32)
+    z = jnp.full((n_pts,), z0, jnp.float32)
+    x_world = cam_mod.backproject(cam, jnp.asarray(uv), z)  # identity pose
+    return cam, t_id, x_world, patch, ch, g, obs, off
+
+
+def test_patch_scale_unit_rho_bitwise_neutral(rng):
+    """seed * z == 1 exactly -> rho == 1.0 -> patch_scale must reproduce
+    the fixed-grid evaluation BITWISE (oracle and compressed paths)."""
+    cam, t, x, patch, ch, g, obs, off = _exact_scale_problem(rng)
+    seeds = jnp.full((x.shape[0],), 0.5, jnp.float32)  # z = 2.0 -> rho = 1
+    kw = dict(huber_delta=0.07, gradient_mode="sampled")
+    a = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off, **kw)
+    b = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
+                         patch_scale=seeds, **kw)
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+    np.testing.assert_array_equal(np.asarray(a.j_pose), np.asarray(b.j_pose))
+    np.testing.assert_array_equal(np.asarray(a.j_point),
+                                  np.asarray(b.j_point))
+    assert float(a.cost) == float(b.cost)
+    ca = res_mod.evaluate_compressed(cam, t, x, patch, ch, g, obs, off,
+                                     backend="xla", **kw)
+    cb = res_mod.evaluate_compressed(cam, t, x, patch, ch, g, obs, off,
+                                     backend="xla", patch_scale=seeds, **kw)
+    np.testing.assert_array_equal(np.asarray(ca.gtg), np.asarray(cb.gtg))
+    np.testing.assert_array_equal(np.asarray(ca.gtr), np.asarray(cb.gtr))
+    assert float(ca.cost) == float(cb.cost)
+
+
+@pytest.mark.parametrize("seed_val,rho", [(0.25, 2.0), (1.0, 0.5)])
+def test_patch_scale_equals_prescaled_offsets(rng, seed_val, rho):
+    """rho = 1/(seed*z): the scaled-grid evaluation must equal evaluating
+    with the offsets pre-multiplied by rho (sampling, residuals AND the
+    frozen-rho Jacobians are the same computation)."""
+    cam, t, x, patch, ch, g, obs, off = _exact_scale_problem(rng)
+    seeds = jnp.full((x.shape[0],), seed_val, jnp.float32)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled")
+    a = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off * rho, **kw)
+    b = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
+                         patch_scale=seeds, **kw)
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+    np.testing.assert_array_equal(np.asarray(a.j_pose), np.asarray(b.j_pose))
+    assert float(a.cost) == float(b.cost)
+
+
+def test_patch_scale_clamped_to_bounds(rng):
+    """|log rho| beyond [0.5, 2] clamps: an extreme seed behaves exactly as
+    the boundary scale (PATCH_SCALE_MIN/MAX)."""
+    cam, t, x, patch, ch, g, obs, off = _exact_scale_problem(rng)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled")
+    # seed*z = 0.125 -> raw rho = 8 -> clamps to 2.0
+    hi = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
+                          patch_scale=jnp.full((x.shape[0],), 0.0625), **kw)
+    ref2 = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off * 2.0, **kw)
+    np.testing.assert_array_equal(np.asarray(hi.r), np.asarray(ref2.r))
+    # seed*z = 8 -> raw rho = 1/8 -> clamps to 0.5
+    lo = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
+                          patch_scale=jnp.full((x.shape[0],), 4.0), **kw)
+    ref05 = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off * 0.5, **kw)
+    np.testing.assert_array_equal(np.asarray(lo.r), np.asarray(ref05.r))
+
+
+def test_patch_scale_pallas_backend_rejected(rng):
+    """The warp kernels share one subpixel phase per observation; a scaled
+    grid needs per-column phases. evaluate_compressed must refuse rather
+    than silently ignore the scale."""
+    cam, t, x, patch, ch, g, obs, off = _exact_scale_problem(rng, n_pts=5)
+    with pytest.raises(ValueError, match="patchScale"):
+        res_mod.evaluate_compressed(
+            cam, t, x, patch, ch, g, obs, off, huber_delta=0.07,
+            backend="pallas", interpret=True,
+            patch_scale=jnp.full((x.shape[0],), 0.5))
+
+
+def test_patch_scale_lm_converges(rng):
+    """Frozen-rho Jacobians still drive LM downhill: a perturbed problem
+    with patchScale on converges (monotone cost, recovers the unperturbed
+    cost level). The rho freeze affects step QUALITY only — accept/reject
+    tests the true scaled-grid cost."""
+    from photobundle_tpu.core import lm
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=16, w=3)
+    # True inverse-depth seeds: depth of each point in its ref frame (0).
+    z0 = se3.transform_points(se3.se3_inverse(t_wc[0]), x)[:, 2]
+    seeds = 1.0 / jnp.maximum(z0, 1e-6)
+    pv = jnp.ones((x.shape[0],), bool)
+    frozen = jnp.zeros((3,), bool).at[0].set(True)
+    rng2 = np.random.default_rng(3)
+    t_pert = t_wc.at[1:, :3, 3].add(
+        jnp.asarray(rng2.normal(0, 5e-3, size=(2, 3)), jnp.float32))
+    t_out, x_out, stats = lm.lm_solve(
+        cam, t_pert, x, patch, ch, g, obs, pv, frozen, off,
+        huber_delta=0.07, backend="xla", patch_scale=seeds,
+        max_iterations=30)
+    assert float(stats.final_cost) < float(stats.initial_cost)
+    # Poses move back toward the truth.
+    err0 = float(jnp.linalg.norm(t_pert[1:, :3, 3] - t_wc[1:, :3, 3]))
+    err1 = float(jnp.linalg.norm(t_out[1:, :3, 3] - t_wc[1:, :3, 3]))
+    assert err1 < err0
