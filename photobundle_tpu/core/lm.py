@@ -301,15 +301,12 @@ def lm_solve(
         # Gauss-Newton system. Halves the sampling work vs the classic
         # eval-then-test structure at identical numerics.
         res = st.res
-        # Fused Mosaic assembly (ops/assemble.py) — opt-in until validated
-        # against the live Mosaic compiler (set PB_FUSED_ASSEMBLY=0/1 to
-        # force; default follows the eval backend once TPU-validated).
-        import os as _os
-
-        _fa = _os.environ.get("PB_FUSED_ASSEMBLY", "0") == "1"
+        # Assembly stays on the XLA path by design: hardware breakdowns
+        # (benchlogs/r4b_breakdown_*.log) measured its differential cost at
+        # ~0 ms — XLA fuses it into the eval — so round 3's fused Mosaic
+        # assembly kernel was deleted (BASELINE.md "Fused assembly").
         eq = schur.build_normal_equations_compressed(
-            res, backend=backend if _fa else "xla",
-            use_prior=depth_prior is not None)
+            res, use_prior=depth_prior is not None)
         # Global assembly (see ShardCtx): point blocks summed over frames,
         # pose blocks summed over points then gathered over frames, the
         # point-pose coupling gathered over frames (axis 1). With the

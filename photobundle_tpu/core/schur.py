@@ -106,32 +106,19 @@ def build_normal_equations_compressed(
     planes, the pose blocks as one dot_general contracting (2+1)N — MXU
     food. Identical result to build_normal_equations(evaluate(...)).
 
-    backend='pallas' (round 3): the ~60 per-point planes fuse into ONE
-    Mosaic pass over the point axis (ops/assemble.py) — XLA's per-plane
-    issue overhead was 0.45 of the 0.55 ms LM iteration at 4096x5. The
-    point-axis contractions (hcc, bc) stay XLA/MXU. Falls back to this
-    XLA path when the shape is unsupported (N not a lane multiple,
-    W > MAX_UNROLL_W). use_prior=False skips the jp/rp prior rows (they
-    are exact zeros without an inverse-depth prior)."""
+    `backend`/`interpret` are accepted for call-site compatibility but the
+    XLA form is the only implementation: a fused Mosaic assembly kernel
+    (round 3's ops/assemble.py) was measured on hardware and DELETED in
+    round 4 — XLA already fuses this phase to ~zero marginal cost
+    (differential cost ~ -0.3 ms at both 16k and 65k points,
+    benchlogs/r4b_breakdown_*.log) and the kernel showed no win at 4096x5
+    (0.652 vs 0.627 ms full-iter). See BASELINE.md "Fused assembly:
+    resolved". use_prior=False skips the jp/rp prior rows (they are exact
+    zeros without an inverse-depth prior; the XLA form multiplies through
+    the zeros, which XLA folds — the flag is kept for call-site clarity)."""
+    del backend, interpret, use_prior
     a, gtg, gtr = res.a, res.gtg, res.gtr          # (W,2,9,N) (W,2,2,N) (W,2,N)
     jp, rp = res.jp, res.rp                        # (W, 9, N) (W, N)
-    if backend == "pallas":
-        from ..ops import assemble as asm_mod
-
-        w, _, _, n = a.shape
-        if n % 128 == 0 and w <= asm_mod.MAX_UNROLL_W:
-            hpp, hpc, bp, b6, ga6 = asm_mod.assemble_point_blocks(
-                a, gtg, gtr, jp, rp, use_prior=use_prior,
-                interpret=interpret)
-            if use_prior:
-                rows_c = jnp.concatenate([a[:, :, :6], jp[:, None, :6]],
-                                         axis=1)
-                cols_c = jnp.concatenate([ga6, jp[:, None, :6]], axis=1)
-            else:
-                rows_c, cols_c = a[:, :, :6], ga6
-            hcc = jnp.einsum("wbin,wbjn->wij", rows_c, cols_c)
-            bc = jnp.sum(b6, axis=-1)
-            return NormalEq(hpp=hpp, hpc=hpc, hcc=hcc, bp=bp, bc=bc)
     # ga[w,b,j,n] = sum_a gtg[w,b,a,n] * a[w,a,j,n]
     ga = (gtg[:, :, 0][:, :, None] * a[:, 0][:, None]
           + gtg[:, :, 1][:, :, None] * a[:, 1][:, None])     # (W, 2, 9, N)

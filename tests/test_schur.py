@@ -167,66 +167,3 @@ def test_compressed_normal_equations_match_full_with_prior(rng):
         schur.build_normal_equations(full), atol=2e-3)
 
 
-def test_fused_assembly_kernel_matches_xla(rng):
-    """ops/assemble.py (Mosaic fused per-point assembly, interpret mode)
-    must reproduce the XLA broadcast-form assembly block-for-block, with
-    and without the inverse-depth prior rows."""
-    w, n = 5, 256
-    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
-    res = res_mod.CompressedResiduals(
-        a=mk(w, 2, 9, n), gtg=mk(w, 2, 2, n), gtr=mk(w, 2, n),
-        jp=mk(w, 9, n), rp=mk(w, n),
-        valid=jnp.ones((n, w), bool), cost=jnp.float32(0.0),
-        n_residuals=jnp.int32(n * w))
-    ref = schur.build_normal_equations_compressed(res)
-    out = schur.build_normal_equations_compressed(res, backend="pallas",
-                                                  interpret=True)
-    for name in ref._fields:
-        np.testing.assert_allclose(np.asarray(getattr(out, name)),
-                                   np.asarray(getattr(ref, name)),
-                                   atol=1e-4, rtol=1e-5, err_msg=name)
-
-    # No-prior fast path: must equal the XLA path with zeroed prior rows.
-    res0 = res._replace(jp=jnp.zeros_like(res.jp),
-                        rp=jnp.zeros_like(res.rp))
-    ref0 = schur.build_normal_equations_compressed(res0)
-    out0 = schur.build_normal_equations_compressed(
-        res, backend="pallas", use_prior=False, interpret=True)
-    for name in ref0._fields:
-        np.testing.assert_allclose(np.asarray(getattr(out0, name)),
-                                   np.asarray(getattr(ref0, name)),
-                                   atol=1e-4, rtol=1e-5, err_msg=name)
-
-    # Unsupported shape (N not a lane multiple) must fall back, not fail.
-    res_odd = jax.tree.map(
-        lambda x: x[..., :130] if (hasattr(x, "ndim") and x.ndim > 1
-                                   and x.shape[-1] == n) else x, res)
-    res_odd = res_odd._replace(valid=res.valid[:130])
-    fb = schur.build_normal_equations_compressed(res_odd, backend="pallas")
-    rf = schur.build_normal_equations_compressed(res_odd)
-    for name in rf._fields:
-        np.testing.assert_allclose(np.asarray(getattr(fb, name)),
-                                   np.asarray(getattr(rf, name)),
-                                   err_msg=name)
-
-
-@pytest.mark.parametrize("w,n", [(5, 8192), (7, 384), (2, 128)])
-def test_fused_assembly_kernel_shapes(rng, w, n):
-    """Fused assembly across the shape envelope the engine can emit:
-    multi-chunk grids (N=8192 at W=5 -> 2 lane chunks), odd window sizes,
-    and the minimal W=2 window — pinned against the XLA form before the
-    live-Mosaic default flip (tools/tpu_session_r3.sh fa_* steps)."""
-    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
-    res = res_mod.CompressedResiduals(
-        a=mk(w, 2, 9, n), gtg=mk(w, 2, 2, n), gtr=mk(w, 2, n),
-        jp=mk(w, 9, n), rp=mk(w, n),
-        valid=jnp.ones((n, w), bool), cost=jnp.float32(0.0),
-        n_residuals=jnp.int32(n * w))
-    ref = schur.build_normal_equations_compressed(res)
-    out = schur.build_normal_equations_compressed(res, backend="pallas",
-                                                  interpret=True)
-    for name in ref._fields:
-        np.testing.assert_allclose(np.asarray(getattr(out, name)),
-                                   np.asarray(getattr(ref, name)),
-                                   atol=2e-4, rtol=1e-5,
-                                   err_msg=f"W={w} N={n} {name}")

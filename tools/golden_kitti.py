@@ -20,6 +20,7 @@ The dataset is rendered once and cached under --root; stereo depth is
 cached across configs (cfg.depthCacheDir).
 """
 import argparse
+import glob
 import os
 import sys
 import time
@@ -124,16 +125,25 @@ def main() -> int:
 
     from synthetic import drift_poses, perturb_poses, write_box_kitti_dataset
 
-    marker = os.path.join(args.root, f".rendered_{args.frames}")
-    if not os.path.exists(marker):
+    # Render-once-and-slice: a dataset rendered at M frames serves every
+    # run with --frames <= M (the engine reads only numFrames frames and
+    # gt is sliced below), so reuse ANY marker with a large-enough count
+    # instead of re-rendering per --frames value (round-3 verdict task 6:
+    # a 60-frame re-render cost 611 s).
+    existing = [int(m.rsplit("_", 1)[1])
+                for m in glob.glob(os.path.join(args.root, ".rendered_*"))
+                if m.rsplit("_", 1)[1].isdigit()]
+    if not existing or max(existing) < args.frames:
         print(f"rendering {args.frames}-frame golden dataset -> {args.root} "
-              "(one-time, cached)...", flush=True)
+              "(one-time, cached; reused for any smaller --frames)...",
+              flush=True)
         t0 = time.time()
         rng = np.random.default_rng(12)
         write_box_kitti_dataset(args.root, 0, rng, n_frames=args.frames,
                                 supersample=args.supersample,
                                 min_wavelength=args.min_wavelength)
-        open(marker, "w").write("ok")
+        open(os.path.join(args.root, f".rendered_{args.frames}"),
+             "w").write("ok")
         print(f"rendered in {time.time() - t0:.0f}s", flush=True)
 
     gt = traj_mod.load_poses_kitti(
