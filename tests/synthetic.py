@@ -244,11 +244,30 @@ def kitti_like_trajectory(n_frames: int, step: float = 0.8,
     return np.stack(poses)
 
 
+def lateral_trajectory(n_frames: int, step: float = 0.3,
+                       z_pos: float = 10.0, x0: float = -25.0) -> np.ndarray:
+    """Pure lateral strafe: the camera faces +z (the z=+BOX_HALF wall, 50 m
+    ahead from z_pos=10) and translates along world +x. Translation is
+    perpendicular to every viewing ray's dominant axis, so parallax is
+    ~fx*step/z for ALL points — the textbook strong-geometry regime for
+    photometric BA, with none of the forward-motion FOE degeneracy of the
+    block loop. This is the parity positive-control trajectory (round-3
+    VERDICT task 4: the paper's nominal conditions)."""
+    poses = []
+    for i in range(n_frames):
+        t = np.eye(4, dtype=np.float32)
+        t[0, 3] = x0 + i * step
+        t[2, 3] = z_pos
+        poses.append(t)
+    return np.stack(poses)
+
+
 def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
                             shape=(370, 1226), fx=707.0, baseline=0.537,
                             step=0.8,
                             min_wavelength=0.25, max_wavelength=4.0,
-                            obstacles="default", supersample=1):
+                            obstacles="default", supersample=1,
+                            trajectory="block"):
     """KITTI-scale golden dataset (BASELINE configs 1/2 stand-in until real
     KITTI exists on disk): textured box room, seq-00-style block-loop
     trajectory (straights + 90-degree turns), true KITTI calibration scale
@@ -277,9 +296,14 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
 
     tex = make_texture(rng, n_waves=96, min_wavelength=min_wavelength,
                        max_wavelength=max_wavelength)
-    poses = kitti_like_trajectory(n_frames, step=step)
+    if trajectory == "lateral":
+        poses = lateral_trajectory(n_frames, step=step)
+    else:
+        poses = kitti_like_trajectory(n_frames, step=step)
     if obstacles == "default":
         obstacles = default_obstacles()
+    elif obstacles == "none":
+        obstacles = None
 
     for i, p in enumerate(poses):
         # Per-frame renders are pure functions of (texture, pose) — the rng

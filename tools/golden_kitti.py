@@ -113,6 +113,20 @@ def main() -> int:
                     help="shortest texture wavelength (m); the default is "
                          "the point-sampled render's alias limit at 80 m — "
                          "go lower only with --supersample >= 2")
+    ap.add_argument("--trajectory", choices=("block", "lateral"),
+                    default="block",
+                    help="'lateral' = strafe facing a wall (strong parallax "
+                         "for every point, no forward-motion degeneracy) — "
+                         "the parity positive-control regime. Use a "
+                         "distinct --root per setting.")
+    ap.add_argument("--obstacles", choices=("default", "none"),
+                    default="default",
+                    help="'none' removes the occluding boxes (pure "
+                         "photometric consistency; pair with "
+                         "--trajectory lateral for the positive control)")
+    ap.add_argument("--step", type=float, default=None,
+                    help="per-frame translation (m); defaults: 0.8 block, "
+                         "0.3 lateral")
     args = ap.parse_args()
     if args.drift_trans is None:
         # walk defaults reproduce the round-2 published table (1%-of-motion
@@ -141,7 +155,12 @@ def main() -> int:
         rng = np.random.default_rng(12)
         write_box_kitti_dataset(args.root, 0, rng, n_frames=args.frames,
                                 supersample=args.supersample,
-                                min_wavelength=args.min_wavelength)
+                                min_wavelength=args.min_wavelength,
+                                trajectory=args.trajectory,
+                                obstacles=args.obstacles,
+                                step=(args.step if args.step is not None
+                                      else (0.3 if args.trajectory ==
+                                            "lateral" else 0.8)))
         open(os.path.join(args.root, f".rendered_{args.frames}"),
              "w").write("ok")
         print(f"rendered in {time.time() - t0:.0f}s", flush=True)
