@@ -124,8 +124,11 @@ def _cpu_probe_subprocess(timeout_s=1500.0):
     for line in out.stdout.splitlines():
         if line.startswith("CPU_IPS "):
             return float(line.split()[1])
-    print(f"# cpu probe subprocess failed: {out.stderr.strip()[-200:]}",
-          file=sys.stderr)
+    # Print the FULL stderr tail (advisor round 3): a misrouted probe that
+    # timed the TPU as "CPU" asserts with a platform message that a 200-char
+    # truncation can swallow — the failure must be diagnosable from the log.
+    tail = "\n".join(out.stderr.strip().splitlines()[-15:])
+    print(f"# cpu probe subprocess failed:\n{tail}", file=sys.stderr)
     return None
 
 

@@ -67,6 +67,12 @@ def test_pbaconfig_validation():
     assert PBAConfig(normalizePatches=False).resolve_normalization() == "off"
     assert (PBAConfig(normalizePatches=False, patchNormalization="affine")
             .resolve_normalization() == "off")
+    # patchScale is XLA-path-only: forcing the pallas backend must fail at
+    # config load, and 'auto' must resolve to xla (advisor round 3).
+    with pytest.raises(ValueError):
+        PBAConfig(patchScale=True, solverBackend="pallas").validate()
+    PBAConfig(patchScale=True).validate()
+    assert PBAConfig(patchScale=True).resolve_backend() == "xla"
 
 
 def test_pbaconfig_hashable_and_replace():
