@@ -19,7 +19,27 @@ from __graft_entry__ import _make_problem
 H, WI = 370, 1226
 
 
-def run(n_pts, w, iters=20):
+def measure_rtt() -> float:
+    """Per-call host->device->host round trip (dispatch + tunnel)."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = np.zeros(())
+    _ = float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def run(n_pts, w, iters=None):
+    # Enough while_loop iterations inside ONE jit that the per-iteration
+    # slope dwarfs the tunnel RTT (round 4: a 0.55 ms iteration over a
+    # fixed 20-iter chain went NEGATIVE under the old hardcoded 36 ms
+    # subtraction).
+    if iters is None:
+        iters = max(30, min(3000, (1 << 26) // (n_pts * w)))
+    rtt = measure_rtt()
     cam, offsets, args = _make_problem(n_pts, w, H, WI, 2, seed=1)
     backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
     fn = jax.jit(lambda *a: lm.lm_solve(
@@ -35,7 +55,7 @@ def run(n_pts, w, iters=20):
         _ = float(out[2].final_cost)
         best = min(best, time.perf_counter() - t0)
     n = int(out[2].iterations)
-    t_iter = (best - 0.036) / n  # subtract one tunnel round-trip
+    t_iter = (best - rtt) / n
     print(json.dumps({
         "points": n_pts, "window": w, "observations": n_pts * w,
         "ms_per_lm_iteration": round(t_iter * 1e3, 3),
