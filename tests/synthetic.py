@@ -221,6 +221,83 @@ def render_box(tex, cam: Camera, t_wc: np.ndarray, shape,
     return img, np.where(depth < max_depth, depth, 0.0).astype(np.float32)
 
 
+def make_render_box_jax(shape, obstacles=None, max_depth: float = 250.0):
+    """Jitted (TPU-capable) twin of render_box for golden-dataset rendering.
+
+    The numpy renderer materializes (H*W, K) float64 phase temporaries
+    (~1.4 GB at 740x2452 x 96 waves) — >2 min per supersampled frame on a
+    1-core host, which round-3's verdict flagged as the golden-velocity
+    bottleneck. This path computes the identical ray-plane/AABB geometry
+    and sinusoid texture in float32 under jit (seconds per frame on CPU,
+    ~ms on a TPU chip). float32 is sufficient for the golden's multi-view
+    consistency: worst-case phase error at BOX_HALF extent and 0.1 m
+    wavelength is ~6e-4 rad -> intensity error ~1e-4, an order below the
+    PNG 1/255 quantization floor. Returns render(tex, fx, fy, cx, cy,
+    t_wc) -> (img, depth) as numpy arrays.
+    """
+    import jax
+    import jax.numpy as jnp_
+
+    h, w = shape
+    if obstacles:
+        lo_all = np.stack([lo for lo, _ in obstacles]).astype(np.float32)
+        hi_all = np.stack([hi for _, hi in obstacles]).astype(np.float32)
+    else:
+        lo_all = hi_all = None
+
+    @jax.jit
+    def _render(freqs, phases, amps, fx, fy, cx, cy, t_wc):
+        ys, xs = jnp_.meshgrid(jnp_.arange(h, dtype=jnp_.float32),
+                               jnp_.arange(w, dtype=jnp_.float32),
+                               indexing="ij")
+        d_cam = jnp_.stack([(xs - cx) / fx, (ys - cy) / fy,
+                            jnp_.ones_like(xs)], axis=-1)
+        r = t_wc[:3, :3]
+        o = t_wc[:3, 3]
+        d_world = d_cam @ r.T
+        big = jnp_.float32(1e9)
+        t_best = jnp_.full((h, w), big)
+        for axis, value in ((0, -BOX_HALF), (0, BOX_HALF),
+                            (2, -BOX_HALF), (2, BOX_HALF),
+                            (1, BOX_GROUND), (1, BOX_CEIL)):
+            d_ax = d_world[..., axis]
+            t = (jnp_.float32(value) - o[axis]) / d_ax
+            t = jnp_.where(jnp_.isfinite(t) & (t > 0.1), t, big)
+            t_best = jnp_.minimum(t_best, t)
+
+        if lo_all is not None:
+            def hit_box(t_best, lohi):
+                lo, hi = lohi
+                t1 = (lo - o) / d_world
+                t2 = (hi - o) / d_world
+                tmin = jnp_.max(jnp_.minimum(t1, t2), axis=-1)
+                tmax = jnp_.min(jnp_.maximum(t1, t2), axis=-1)
+                hit = (tmax >= tmin) & (tmax > 0.1) & (tmin > 0.1)
+                return jnp_.minimum(t_best,
+                                    jnp_.where(hit, tmin, big)), None
+            t_best, _ = jax.lax.scan(
+                hit_box, t_best,
+                (jnp_.asarray(lo_all), jnp_.asarray(hi_all)))
+
+        x_world = o + t_best[..., None] * d_world
+        phase = x_world @ freqs.T + phases
+        img = 0.5 + 0.5 * jnp_.tanh(jnp_.sin(phase) @ amps)
+        depth = t_best * d_cam[..., 2]
+        depth = jnp_.where(depth < max_depth, depth, 0.0)
+        return img, depth
+
+    def render(tex, cam, t_wc):
+        freqs, phases, amps = (np.asarray(a, np.float32) for a in tex)
+        img, depth = _render(jnp_.asarray(freqs), jnp_.asarray(phases),
+                             jnp_.asarray(amps),
+                             jnp_.float32(cam.fx), jnp_.float32(cam.fy),
+                             jnp_.float32(cam.cx), jnp_.float32(cam.cy),
+                             jnp_.asarray(np.asarray(t_wc, np.float32)))
+        return np.asarray(img, np.float32), np.asarray(depth, np.float32)
+
+    return render
+
+
 def kitti_like_trajectory(n_frames: int, step: float = 0.8,
                           straight: int = 70, turn: int = 25) -> np.ndarray:
     """seq-00-style block-loop motion: alternating straights and 90-degree
@@ -267,7 +344,7 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
                             step=0.8,
                             min_wavelength=0.25, max_wavelength=4.0,
                             obstacles="default", supersample=1,
-                            trajectory="block"):
+                            trajectory="block", renderer="numpy"):
     """KITTI-scale golden dataset (BASELINE configs 1/2 stand-in until real
     KITTI exists on disk): textured box room, seq-00-style block-loop
     trajectory (straights + 90-degree turns), true KITTI calibration scale
@@ -305,6 +382,12 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
     elif obstacles == "none":
         obstacles = None
 
+    s = int(supersample)
+    cam_ss = cam.scaled(float(s)) if s > 1 else cam
+    shape_ss = (shape[0] * s, shape[1] * s)
+    jax_render = (make_render_box_jax(shape_ss, obstacles=obstacles)
+                  if renderer == "jax" else None)
+
     for i, p in enumerate(poses):
         # Per-frame renders are pure functions of (texture, pose) — the rng
         # is fully consumed by make_texture above — so an interrupted
@@ -313,19 +396,16 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
         out_r = os.path.join(seq_dir, "image_1", f"{i:06d}.png")
         if os.path.exists(out_l) and os.path.exists(out_r):
             continue
-        s = int(supersample)
-        if s > 1:
-            cam_ss = cam.scaled(float(s))   # pixel-center-preserving upscale
-            shape_ss = (shape[0] * s, shape[1] * s)
 
-            def _render(pose):
+        def _render(pose):
+            if jax_render is not None:
+                im, _ = jax_render(tex, cam_ss, pose)
+            else:
                 im, _ = render_box(tex, cam_ss, pose, shape_ss,
                                    obstacles=obstacles)
-                return im.reshape(shape[0], s, shape[1], s).mean(axis=(1, 3))
-        else:
-            def _render(pose):
-                return render_box(tex, cam, pose, shape,
-                                  obstacles=obstacles)[0]
+            if s > 1:
+                im = im.reshape(shape[0], s, shape[1], s).mean(axis=(1, 3))
+            return im
         img_l = _render(p)
         pr = p.copy()
         pr[:3, 3] = p[:3, 3] + p[:3, :3] @ np.array([baseline, 0, 0],

@@ -78,3 +78,32 @@ def test_plot_traj_smoke(tmp_path):
                p["est"], p["gt"], "--out", out2])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert os.path.exists(out2) and os.path.getsize(out2) > 10_000
+
+
+def test_jax_renderer_matches_numpy(tmp_path):
+    """The jitted float32 golden renderer (synthetic.make_render_box_jax)
+    must reproduce the float64 numpy render_box below the PNG quantization
+    floor — same ray geometry, same sinusoid texture — so golden datasets
+    rendered on-TPU are interchangeable with the original numpy ones."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import synthetic as syn
+
+    rng = np.random.default_rng(3)
+    tex = syn.make_texture(rng, n_waves=32, min_wavelength=0.2,
+                           max_wavelength=3.0)
+    from photobundle_tpu.geometry.camera import Camera
+    cam = Camera.create(fx=90.0, fy=90.0, cx=29.5, cy=19.5, baseline=0.5)
+    obstacles = syn.default_obstacles()[:5]
+    pose = np.eye(4, dtype=np.float32)
+    pose[0, 3], pose[2, 3] = -28.0, -28.0
+    img_np, depth_np = syn.render_box(tex, cam, pose, (40, 60),
+                                      obstacles=obstacles)
+    render = syn.make_render_box_jax((40, 60), obstacles=obstacles)
+    img_jx, depth_jx = render(tex, cam, pose)
+    assert np.max(np.abs(img_jx - img_np)) < 1.0 / 255.0
+    valid = (depth_np > 0) & (depth_jx > 0)
+    assert valid.mean() > 0.9
+    assert np.max(np.abs(depth_jx - depth_np)[valid]
+                  / depth_np[valid]) < 1e-4
+    # Depth validity masks agree (max_depth cut + obstacle hits).
+    assert np.mean((depth_np > 0) != (depth_jx > 0)) < 0.01

@@ -127,6 +127,15 @@ def main() -> int:
     ap.add_argument("--step", type=float, default=None,
                     help="per-frame translation (m); defaults: 0.8 block, "
                          "0.3 lateral")
+    ap.add_argument("--renderer", choices=("auto", "numpy", "jax"),
+                    default="auto",
+                    help="'jax' renders jitted float32 frames on the "
+                         "default JAX backend (seconds per supersampled "
+                         "frame vs >2 min for the float64 numpy path on a "
+                         "1-core host); 'auto' = jax when a TPU is "
+                         "attached. Intensity difference vs numpy is below "
+                         "the PNG quantization floor (see "
+                         "synthetic.make_render_box_jax).")
     args = ap.parse_args()
     if args.drift_trans is None:
         # walk defaults reproduce the round-2 published table (1%-of-motion
@@ -152,12 +161,18 @@ def main() -> int:
               "(one-time, cached; reused for any smaller --frames)...",
               flush=True)
         t0 = time.time()
+        renderer = args.renderer
+        if renderer == "auto":
+            import jax
+            renderer = ("jax" if jax.default_backend()
+                        not in ("cpu", "gpu") else "numpy")
         rng = np.random.default_rng(12)
         write_box_kitti_dataset(args.root, 0, rng, n_frames=args.frames,
                                 supersample=args.supersample,
                                 min_wavelength=args.min_wavelength,
                                 trajectory=args.trajectory,
                                 obstacles=args.obstacles,
+                                renderer=renderer,
                                 step=(args.step if args.step is not None
                                       else (0.3 if args.trajectory ==
                                             "lateral" else 0.8)))
