@@ -101,22 +101,36 @@ class PBAConfig:
                                           # explicit/tunable. 0 =
                                           # reference-exact central
                                           # differences.
-    patchScale: bool = False              # depth-ratio patch-grid scaling:
-                                          # sample frame f at
-                                          # u + (z_seed/z_f) * o_k instead
-                                          # of the reference's FIXED
-                                          # fronto-parallel grid. Addresses
-                                          # the measured patch-model
-                                          # accuracy floor (~8%/frame scale
-                                          # change at forward motion —
-                                          # BASELINE.md "Texture-sharpness
-                                          # probe"). Ratio clamped to
-                                          # [0.5, 2]. Default off =
-                                          # reference-exact. Runs on the
-                                          # XLA sampling path (the Pallas
-                                          # warp kernels assume one subpixel
+    patchWarp: str = "none"               # per-observation patch-grid warp
+                                          # from the CURRENT geometry
+                                          # (self-consistent: identity in
+                                          # each point's reference frame):
+                                          #   none   — the reference's fixed
+                                          #     fronto-parallel grid
+                                          #     (pb:src/photobundle.cc),
+                                          #   scale  — isotropic depth-ratio
+                                          #     rho_f = z_ref(X)/z_f(X),
+                                          #   affine — full projective 2x2
+                                          #     warp (anisotropic scale,
+                                          #     shear, rotation).
+                                          # Addresses the measured patch-
+                                          # model accuracy floor (~8%/frame
+                                          # scale change under forward
+                                          # motion — BASELINE.md "Texture-
+                                          # sharpness probe"); scale clamped
+                                          # to [0.5, 2]. Runs on the XLA
+                                          # sampling path (the Pallas warp
+                                          # kernels assume one subpixel
                                           # phase per observation; auto
                                           # backend falls back to xla).
+    patchScale: bool = False              # DEPRECATED alias for
+                                          # patchWarp = scale. The round-4
+                                          # frozen-seed variant this key
+                                          # originally named was measured
+                                          # DEGRADING ATE and replaced by
+                                          # the self-consistent model
+                                          # (BASELINE.md round-4 sharp
+                                          # table).
     normalizePatches: bool = True              # per-patch mean removal
                                           # (reference's brightness
                                           # normalization). False compares
@@ -412,6 +426,14 @@ class PBAConfig:
         its own exact surface gradients (Ceres behavior)."""
         return "bicubic" if self.interpolation == "bicubic" else self.gradientMode
 
+    def resolve_patch_warp(self) -> str | None:
+        """The patch-grid warp mode actually applied: None (fixed grid) or
+        'scale' | 'affine'. patchScale=True is the deprecated spelling of
+        patchWarp='scale'."""
+        if self.patchWarp != "none":
+            return self.patchWarp
+        return "scale" if self.patchScale else None
+
     def resolve_backend(self) -> str:
         """'auto' -> fused Pallas kernels on TPU: the bilinear warp kernel
         (gradientMode='sampled') or the Catmull-Rom kernel
@@ -419,8 +441,8 @@ class PBAConfig:
         XLA elsewhere."""
         if self.solverBackend != "auto":
             return self.solverBackend
-        if self.patchScale:
-            return "xla"   # scaled patch grids: gather path only (for now)
+        if self.resolve_patch_warp() is not None:
+            return "xla"   # warped patch grids: gather path only (for now)
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
@@ -453,9 +475,13 @@ class PBAConfig:
                 f"unknown patchNormalization '{self.patchNormalization}'")
         if self.gradientSigma < 0:
             raise ValueError("gradientSigma must be >= 0 (0 = off)")
-        if self.patchScale and self.solverBackend == "pallas":
-            raise ValueError("patchScale requires the XLA sampling path; "
-                             "set solverBackend to auto or xla")
+        if self.patchWarp not in ("none", "scale", "affine"):
+            raise ValueError(f"unknown patchWarp '{self.patchWarp}'")
+        if (self.resolve_patch_warp() is not None
+                and self.solverBackend == "pallas"):
+            raise ValueError("patchWarp/patchScale requires the XLA "
+                             "sampling path; set solverBackend to auto "
+                             "or xla")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         if self.meshFrames > 1:

@@ -326,12 +326,11 @@ class PhotometricBundleAdjustment:
         from ..geometry import camera as cam_mod
         from ..image import interp as interp_mod
 
+        warp_mode = cfg.resolve_patch_warp()
+
         def solve(cam, prior_scale, max_iter, anchor,
                   t_wc0, x_world0, patch, channels, grads, obs, pv, frz,
-                  ref_slot_s, seed_s, reduce_fn=None, scale_seed=None):
-            # scale_seed: patchScale inverse-depth seed when it differs
-            # from the depth-prior seed (coarse levels re-extract the
-            # template at the CURRENT ref depth — see the c2f loop).
+                  ref_slot_s, seed_s, reduce_fn=None):
             depth_prior = (
                 (ref_slot_s, seed_s, prior_scale)
                 if cfg.depthPriorWeight > 0 else None
@@ -345,8 +344,14 @@ class PhotometricBundleAdjustment:
                 backend=cfg.resolve_backend(),
                 normalize=cfg.resolve_normalization(),
                 depth_prior=depth_prior,
-                patch_scale=((scale_seed if scale_seed is not None
-                              else seed_s) if cfg.patchScale else None),
+                # Self-consistent patch warp (cfg.patchWarp): lm_solve
+                # recomputes the warp factors from the CURRENT iterate each
+                # evaluation; the ref-frame factor is identically 1, so no
+                # per-level seed plumbing is needed (the round-4 frozen-seed
+                # variant measurably biased depth toward the stereo seed —
+                # see residuals.patch_warp_ref_geometry).
+                patch_warp=((warp_mode, ref_slot)
+                            if warp_mode is not None else None),
                 motion_prior_weight=cfg.motionPriorWeight,
                 motion_prior_anchor=anchor,
                 pose_prior=((window.t_vo, cfg.posePriorWeight,
@@ -396,12 +401,12 @@ class PhotometricBundleAdjustment:
                 y = x_cur @ t_cw[:3, :3].T + t_cw[:3, 3]
                 uv, in_front = cam_mod.project(cam_k, y)
                 p, ok = patches_mod.extract_patches(ch_f, uv, self.offsets)
-                return p, ok & in_front, y[:, 2]
+                return p, ok & in_front
 
             t_frames = (jax.lax.dynamic_slice_in_dim(
                 t_cur, shard_ctx.frame_offset, w_local, 0)
                 if frames_sharded else t_cur)
-            p_all, ok_all, z_all = jax.vmap(per_frame)(t_frames, ch_k)
+            p_all, ok_all = jax.vmap(per_frame)(t_frames, ch_k)
             # p_all (W_local, N, C, P); ok_all (W_local, N). Pick each
             # point's REF-frame patch. Under frames sharding this is a
             # cross-shard gather: exactly one shard owns a point's ref
@@ -419,24 +424,11 @@ class PhotometricBundleAdjustment:
             patch_k = patches_mod.normalize_patches(
                 p_ref, cfg.resolve_normalization())
             pv_k = point_valid & ok_ref & (ref_slot >= 0)
-            if cfg.patchScale:
-                # The template was just RE-extracted at the point's CURRENT
-                # ref-frame depth, so the self-consistent patchScale seed is
-                # 1/z_ref_current, not the stereo seed (which would leave a
-                # nonzero ref-frame residual at the linearization point once
-                # optimized depth drifts from the seed). The depth PRIOR in
-                # solve() still anchors to points.inv_depth_seed.
-                z_ref = jnp.sum(jnp.where(sel, z_all, 0.0), axis=0)
-                if frames_sharded:
-                    z_ref = shard_ctx.reduce_frames(z_ref)
-                scale_seed = 1.0 / jnp.maximum(z_ref, 1e-6)
-            else:
-                scale_seed = None
             t_cur, x_cur, _ = solve(
                 cam_k, self._prior_scale * (0.5 ** k), cfg.coarseIterations,
                 anchor, t_cur, x_cur, patch_k, ch_k, grads_k, points.obs,
                 pv_k, frozen, ref_slot, points.inv_depth_seed,
-                reduce_fn=reduce_fn, scale_seed=scale_seed)
+                reduce_fn=reduce_fn)
 
         if self._n_coarse > 0:
             # Warm-start guard: a coarse level optimizes ITS OWN objective
@@ -474,6 +466,11 @@ class PhotometricBundleAdjustment:
                       if cfg.depthPriorWeight > 0 else None)
                 t_loc = (jax.lax.dynamic_slice_in_dim(t, _off, w_local, 0)
                          if frames_sharded else t)
+                pw = None
+                if warp_mode is not None:
+                    from .residuals import patch_warp_ref_geometry as _pwg
+                    z_ref, r_wc_ref = _pwg(t, x, ref_slot)
+                    pw = (warp_mode, z_ref, r_wc_ref)
                 res = _ev(self.camera, t_loc, x, points.patch,
                           window.channels, window.grads,
                           slice_obs(points.obs) & point_valid[:, None],
@@ -482,8 +479,7 @@ class PhotometricBundleAdjustment:
                           backend=_backend, ctx=_ctx,
                           normalize=cfg.resolve_normalization(),
                           robust_kind=cfg.robustLoss,
-                          patch_scale=(points.inv_depth_seed
-                                       if cfg.patchScale else None))
+                          patch_warp=pw)
                 c = res.cost
                 if shard_ctx is not None:
                     c = shard_ctx.reduce_obs(c)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import se3
+from . import residuals as residuals_mod
 from . import schur
 from .residuals import evaluate, evaluate_compressed
 
@@ -151,7 +152,7 @@ def lm_solve(
     backend: str = "xla",
     normalize: bool = True,
     depth_prior: tuple | None = None,
-    patch_scale: jax.Array | None = None,
+    patch_warp: tuple | None = None,
     motion_prior_weight: float = 0.0,
     motion_prior_anchor: jax.Array | None = None,
     pose_prior: tuple | None = None,
@@ -204,13 +205,23 @@ def lm_solve(
             mode="bicubic" if gradient_mode == "bicubic" else "sampled")
 
     def eval_stats(t, x):
+        # patch_warp = (mode, ref_slot GLOBAL): the warp factors are
+        # self-consistent functions of the CURRENT iterate, recomputed at
+        # every candidate evaluation from the FULL replicated poses (the
+        # ref frame may live on another frame shard — poses are
+        # replicated, images are not). See residuals.patch_warp_ref_geometry.
+        pw = None
+        if patch_warp is not None:
+            z_ref, r_wc_ref = residuals_mod.patch_warp_ref_geometry(
+                t, x, patch_warp[1])
+            pw = (patch_warp[0], z_ref, r_wc_ref)
         return evaluate_compressed(cam, slice_frames(t), x, patch, channels,
                                    grads, obs_mask, offsets, huber_delta,
                                    gradient_mode, depth_prior=depth_prior,
                                    backend=backend, ctx=eval_ctx,
                                    normalize=normalize,
                                    robust_kind=robust_kind,
-                                   patch_scale=patch_scale)
+                                   patch_warp=pw)
 
     # Relative-pose motion prior (no reference counterpart): anchors each
     # consecutive window pair's relative pose to its initialization,

@@ -171,21 +171,89 @@ PATCH_SCALE_MIN = 0.5
 PATCH_SCALE_MAX = 2.0
 
 
-def patch_scale_factor(z, inv_depth_seed):
-    """Per-observation patch-grid scale rho = z_seed / z (cfg.patchScale).
+def patch_warp_ref_geometry(t_wc, x_world, ref_slot):
+    """Per-point REFERENCE-frame geometry for patch warping (cfg.patchWarp),
+    evaluated at the CURRENT estimates.
 
-    The fixed fronto-parallel patch grid is the reference's model
-    (pb:src/photobundle.cc samples the SAME pixel offsets in every frame);
-    under forward motion a point's patch appearance scales by the depth
-    ratio between its seed (extraction) depth and its current camera depth
-    (~8%/frame at 0.8 m/frame and 10 m — the measured accuracy floor, see
-    BASELINE.md "Texture-sharpness probe"). Scaling the sampling grid by
-    rho = z_seed/z warps the patch to its extraction-time footprint.
-    Clamped to [0.5, 2]: beyond a 2x scale change the planar model itself
-    has broken down (ZNCC tracking would have dropped the observation).
+    Returns (z_ref (N,), r_wc_ref (N, 3, 3)): each point's depth in its own
+    reference frame and the reference camera's world rotation. z_ref carries
+    the sentinel -1.0 where ref_slot < 0 (ref frame not in the window) —
+    downstream warp factors become the identity there.
+
+    Why CURRENT estimates and not the stereo seed: the round-4 golden
+    measured the frozen-seed variant (rho = z_seed/z_f, z_seed from point
+    creation) DEGRADING ATE (+14.1% vs +29.5% without it — BASELINE.md
+    "Round-4 sharp-texture re-measurement"). Mechanism: once the optimizer
+    refines a point's depth away from its seed, the reference frame itself
+    gets sampled at rho != 1 while its template was extracted at grid scale
+    exactly 1 — the photometric term then pulls inverse depth back toward
+    the noisy stereo seed, an unmodeled prior that biases translation (ATE)
+    even as the cross-frame scale correction helps rotation. Evaluating
+    BOTH depths at the current estimate (rho_f = z_ref(X)/z_f(X)) makes the
+    reference-frame factor identically 1 — no pull — and the cross-frame
+    factor asymptotically correct.
+
+    `t_wc` must be the FULL replicated window poses (under frames sharding
+    the ref frame may live on another shard; poses are replicated, images
+    are not — lm_solve computes this before slicing frames).
     """
-    rho = 1.0 / jnp.maximum(inv_depth_seed * z, 1e-6)
-    return jnp.clip(rho, PATCH_SCALE_MIN, PATCH_SCALE_MAX)
+    w = t_wc.shape[0]
+    t_cw = jax.vmap(se3.se3_inverse)(t_wc)                 # (W, 4, 4)
+    safe = jnp.clip(ref_slot, 0, w - 1)
+    row2 = t_cw[safe, 2]                                   # (N, 4)
+    z_ref = jnp.einsum("nj,nj->n", row2[:, :3], x_world) + row2[:, 3]
+    z_ref = jnp.where(ref_slot >= 0, z_ref, -1.0)
+    r_wc_ref = t_wc[safe][:, :3, :3]                       # (N, 3, 3)
+    return z_ref, r_wc_ref
+
+
+def patch_warp_frame(mode: str, cam, t_wc_f, y, z_ref, r_wc_ref):
+    """Patch-grid warp factor for ONE window frame at the linearization
+    point: (N,) scale rho for mode='scale', (N, 2, 2) affine M for
+    mode='affine'. Identity wherever z_ref <= 0 (no ref frame in window /
+    behind camera).
+
+    The reference's residual model samples the SAME fixed fronto-parallel
+    pixel grid in every frame (pb:src/photobundle.cc; SURVEY.md 3.4); under
+    camera motion a surface patch's appearance warps, which sets the
+    measured accuracy floor on sharp texture (BASELINE.md "Texture-
+    sharpness probe"). Model: back-project the template offsets o at depth
+    z_ref on a fronto-parallel plane in the REFERENCE camera, transport to
+    frame f, project:
+
+        M_f = Jproj(y_f) @ (R_cw_f @ R_wc_ref)[:, :2] @ diag(z_ref/fx,
+                                                             z_ref/fy)
+
+    mode='scale' keeps only the isotropic part via the depth ratio
+    rho_f = z_ref/z_f (exact for pure translation along the optical axis);
+    mode='affine' uses the full 2x2 M — anisotropic scale, shear and
+    rotation from inter-frame rotation and projection obliquity. Both are
+    the identity in the reference frame by construction. The overall scale
+    sqrt|det M| (resp. rho) is clamped to [0.5, 2]: beyond a 2x footprint
+    change the planar model itself has broken down (ZNCC tracking drops
+    such observations). Jacobians hold the warp FROZEN at the
+    linearization point — d(warp)/d(theta) terms scale with |o| * dz/z,
+    second order at patch-radius offsets; LM accept/reject tests the TRUE
+    warped cost, so step quality is all the freeze can affect.
+    """
+    z_f = jnp.maximum(y[:, 2], 1e-6)
+    if mode == "scale":
+        rho = jnp.clip(z_ref / z_f, PATCH_SCALE_MIN, PATCH_SCALE_MAX)
+        return jnp.where(z_ref > 0, rho, 1.0)
+    if mode != "affine":
+        raise ValueError(f"unknown patch warp mode '{mode}'")
+    r_cw = se3.se3_inverse(t_wc_f)[:3, :3]
+    rel = jnp.einsum("ij,njk->nik", r_cw, r_wc_ref)        # (N, 3, 3)
+    f_xy = jnp.asarray([cam.fx, cam.fy], dtype=z_ref.dtype)
+    dy = rel[:, :, :2] * (z_ref[:, None, None] / f_xy)     # (N, 3, 2)
+    jproj = cam_mod.project_jacobian(cam, y)               # (N, 2, 3)
+    m = jnp.einsum("nij,njk->nik", jproj, dy)              # (N, 2, 2)
+    det = jnp.abs(m[:, 0, 0] * m[:, 1, 1] - m[:, 0, 1] * m[:, 1, 0])
+    s = jnp.sqrt(jnp.maximum(det, 1e-12))
+    m = m * (jnp.clip(s, PATCH_SCALE_MIN, PATCH_SCALE_MAX)
+             / s)[:, None, None]
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=m.dtype), m.shape)
+    return jnp.where((z_ref > 0)[:, None, None], m, eye)
 
 
 def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str,
@@ -193,11 +261,15 @@ def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str,
     """Sample patch values and gradients for one frame.
 
     channels_f (C, H, W), grads_f (C, H, W, 2), uv (N, 2), offsets (P, 2).
-    scale: optional (N,) per-point patch-grid scale (cfg.patchScale).
+    scale: optional per-point patch-grid warp (cfg.patchWarp): (N,)
+    isotropic scale or (N, 2, 2) affine map applied to the offset grid.
     Returns s (N, C, P), g (N, C, P, 2), valid (N,).
     """
     if scale is not None:
-        offsets = scale[:, None, None] * offsets          # (N, P, 2)
+        if scale.ndim == 1:
+            offsets = scale[:, None, None] * offsets      # (N, P, 2)
+        else:
+            offsets = jnp.einsum("nij,pj->npi", scale, offsets)
     pts = uv[:, None, :] + offsets                        # (N, P, 2)
     if gradient_mode == "bicubic":
         # Ceres-parity mode: Catmull-Rom surface with its exact gradient
@@ -228,7 +300,7 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
              depth_prior: tuple | None = None,
              normalize: bool = True,
              robust_kind: str = "huber",
-             patch_scale: jax.Array | None = None) -> Residuals:
+             patch_warp: tuple | None = None) -> Residuals:
     """Evaluate all (point, window-frame) photometric residuals at once.
 
     Args:
@@ -249,15 +321,16 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
         intensities; `patch` must then be raw (un-normalized) too. The
         Jacobian centering is skipped in lockstep (d/dtheta of the patch
         mean is the gradient mean).
-      patch_scale: optional (N,) inverse-depth seeds (points.inv_depth_seed)
-        enabling depth-ratio patch-grid scaling (cfg.patchScale): frame f
-        samples at u + rho*o_k with rho = z_seed/z_f (patch_scale_factor).
-        The Jacobian holds rho FROZEN at the linearization point (the
-        d rho/d theta term scales with |o_k| * dz/z — second order for
-        patch-radius offsets); the sampled gradients are taken at the
-        scaled positions, so dr/du stays exact and the rank-2 J = G @ A
-        factoring is preserved. LM's accept/reject tests the TRUE cost, so
-        the approximation affects step quality only, never correctness.
+      patch_warp: optional (mode, z_ref, r_wc_ref) — per-observation patch
+        grid warping (cfg.patchWarp), with mode 'scale' | 'affine' and
+        (z_ref, r_wc_ref) from patch_warp_ref_geometry evaluated at the
+        SAME (t_wc, x_world) passed here (self-consistent: identity in the
+        reference frame). Frame f samples at u + warp_f(o_k) — see
+        patch_warp_frame for the model, the clamp, and the frozen-warp
+        Jacobian argument. Sampled gradients are taken at the warped
+        positions, so dr/du stays exact and the rank-2 J = G @ A factoring
+        is preserved. LM's accept/reject tests the TRUE cost, so the
+        approximation affects step quality only, never correctness.
 
     Returns Residuals with whitened r/J (zeros where invalid).
     """
@@ -271,8 +344,9 @@ def evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
 
     def per_frame(f, t_wc_f, channels_f, grads_f, obs_f):
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
-        rho = (patch_scale_factor(y[:, 2], patch_scale)
-               if patch_scale is not None else None)
+        rho = (patch_warp_frame(patch_warp[0], cam, t_wc_f, y,
+                                patch_warp[1], patch_warp[2])
+               if patch_warp is not None else None)
         s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets,
                                           gradient_mode, scale=rho)
         valid = obs_f & in_front & in_bounds              # (N,)
@@ -338,12 +412,12 @@ def cost_only(cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
               huber_delta: float, gradient_mode: str = "sampled",
               depth_prior: tuple | None = None, normalize: bool = True,
               robust_kind: str = "huber",
-              patch_scale: jax.Array | None = None):
+              patch_warp: tuple | None = None):
     """Robust cost without Jacobians — used for LM step acceptance."""
     res = evaluate(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                    offsets, huber_delta, gradient_mode, with_jacobians=False,
                    depth_prior=depth_prior, normalize=normalize,
-                   robust_kind=robust_kind, patch_scale=patch_scale)
+                   robust_kind=robust_kind, patch_warp=patch_warp)
     return res.cost, res.n_residuals
 
 
@@ -693,7 +767,7 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
                         ctx=None,
                         normalize: bool = True,
                         robust_kind: str = "huber",
-                        patch_scale: jax.Array | None = None) -> CompressedResiduals:
+                        patch_warp: tuple | None = None) -> CompressedResiduals:
     """Like `evaluate` but returns the factored Gauss-Newton statistics.
 
     Produces bitwise-equivalent normal equations (see
@@ -711,12 +785,12 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
             raise ValueError(
                 "pallas backend implements gradient_mode 'sampled' or "
                 f"'bicubic', not '{gradient_mode}'")
-        if patch_scale is not None:
+        if patch_warp is not None:
             # The warp kernels share one subpixel phase per observation
-            # (integer-aligned patch grid); a per-point scaled grid needs
-            # per-column dynamic lane shifts — deferred. cfg.resolve_backend
-            # routes patchScale to the XLA path.
-            raise ValueError("pallas backend does not implement patchScale; "
+            # (integer-aligned patch grid); a warped grid needs per-column
+            # dynamic lane shifts — deferred. cfg.resolve_backend routes
+            # patchWarp to the XLA path.
+            raise ValueError("pallas backend does not implement patchWarp; "
                              "use solverBackend=xla")
         return _evaluate_compressed_pallas(
             cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
@@ -729,8 +803,9 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
 
     def per_frame(f, t_wc_f, channels_f, grads_f, obs_f):
         y, uv, in_front, a = _observation_geometry(cam, t_wc_f, x_world)
-        rho = (patch_scale_factor(y[:, 2], patch_scale)
-               if patch_scale is not None else None)
+        rho = (patch_warp_frame(patch_warp[0], cam, t_wc_f, y,
+                                patch_warp[1], patch_warp[2])
+               if patch_warp is not None else None)
         s, g, in_bounds = _sample_patches(channels_f, grads_f, uv, offsets,
                                           gradient_mode, scale=rho)
         valid = obs_f & in_front & in_bounds                  # (N,)

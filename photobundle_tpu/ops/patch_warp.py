@@ -270,7 +270,7 @@ def warp_patches_bicubic(panels: jax.Array, uv: jax.Array, valid: jax.Array,
 def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
                         out_ref, *, gchunk: int, patch_radius: int,
                         g_obs: int, sub_d: bool, center: bool,
-                        fuse_stats: bool = False):
+                        fuse_stats: bool = False, sort_reuse: bool = False):
     """Round-4 variant: G = 128 // (3*(ps+1)) observations are LANE-PACKED
     into each vector op. The round-3 'rows' kernel spends ~20 VPU ops per
     observation on (win, 128) tiles of which only 3*win = 18 lanes carry
@@ -307,12 +307,31 @@ def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
         # masked parts are independent, so the compiler can overlap all G
         # loads+rolls).
         parts = []
+        prev = None                     # (panel, y0, rows) carried cache
         for j in range(g_obs):
             i = g * g_obs + j
             y0 = y_ref[0, 0, i]
             p = pan_ref[0, 0, i]
             o = off_ref[0, 0, i]
-            rows = img_ref[0, 0, p, pl.ds(y0, win), :]     # (win, 128)
+            if sort_reuse and prev is not None:
+                # Sorted dispatch (round-4 verdict task 4): the caller fed
+                # this group G consecutive (panel, y-row)-sorted points, so
+                # consecutive lanes usually want the IDENTICAL (win, 128)
+                # row window — elide the reload behind a scalar branch.
+                # This serializes the in-group load chain (each rows value
+                # depends on the previous via the cond), but groups stay
+                # independent and the g-loop is fully unrolled, so Mosaic
+                # still overlaps across groups.
+                p_prev, y_prev, rows_prev = prev
+                same = (p == p_prev) & (y0 == y_prev)
+                rows = jax.lax.cond(
+                    same,
+                    lambda: rows_prev,
+                    lambda: img_ref[0, 0, p, pl.ds(y0, win), :])
+            else:
+                rows = img_ref[0, 0, p, pl.ds(y0, win), :]  # (win, 128)
+            if sort_reuse:
+                prev = (p, y0, rows)
             wnd = pltpu.roll(rows, wl * j - o, 1)
             parts.append(jnp.where(masks[j], wnd, 0.0) if g_obs > 1 else wnd)
         while len(parts) > 1:

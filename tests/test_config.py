@@ -67,12 +67,23 @@ def test_pbaconfig_validation():
     assert PBAConfig(normalizePatches=False).resolve_normalization() == "off"
     assert (PBAConfig(normalizePatches=False, patchNormalization="affine")
             .resolve_normalization() == "off")
-    # patchScale is XLA-path-only: forcing the pallas backend must fail at
+    # patchWarp is XLA-path-only: forcing the pallas backend must fail at
     # config load, and 'auto' must resolve to xla (advisor round 3).
+    with pytest.raises(ValueError):
+        PBAConfig(patchWarp="scale", solverBackend="pallas").validate()
+    with pytest.raises(ValueError):
+        PBAConfig(patchWarp="bogus").validate()
+    for mode in ("scale", "affine"):
+        PBAConfig(patchWarp=mode).validate()
+        assert PBAConfig(patchWarp=mode).resolve_backend() == "xla"
+        assert PBAConfig(patchWarp=mode).resolve_patch_warp() == mode
+    # patchScale is the deprecated spelling of patchWarp='scale'.
     with pytest.raises(ValueError):
         PBAConfig(patchScale=True, solverBackend="pallas").validate()
     PBAConfig(patchScale=True).validate()
     assert PBAConfig(patchScale=True).resolve_backend() == "xla"
+    assert PBAConfig(patchScale=True).resolve_patch_warp() == "scale"
+    assert PBAConfig().resolve_patch_warp() is None
 
 
 def test_pbaconfig_hashable_and_replace():

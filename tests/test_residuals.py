@@ -443,36 +443,55 @@ def test_affine_compressed_matches_full(rng):
 
 
 # ---------------------------------------------------------------------------
-# patchScale (cfg.patchScale): depth-ratio patch-grid scaling
+# patchWarp (cfg.patchWarp): self-consistent patch-grid warping
 # ---------------------------------------------------------------------------
 
-def _exact_scale_problem(rng, n_pts=10, w=3, radius=2, z0=2.0):
-    """Identity-pose problem with every point at EXACT camera depth z0 (a
-    power of two), so rho = 1/(seed*z) takes exact values for power-of-two
-    seeds and bitwise comparisons are meaningful."""
+def _warp_problem(rng, dz=0.0, n_pts=10, radius=2, z0=2.0, frame1_only=True):
+    """Two-frame problem for exact warp-factor checks: frame 0 = identity
+    pose (the reference frame), frame 1 = the camera advanced along +z by
+    `dz`, every point at EXACT depth z0 in frame 0. The self-consistent
+    depth ratio rho_1 = z0 / (z0 - dz) takes exact float values for
+    power-of-two z0/z1, so bitwise comparisons are meaningful.
+    frame1_only masks out the frame-0 observations so the evaluation
+    isolates the warped frame."""
     from photobundle_tpu.geometry import camera as cam_mod
 
     cam, t_wc, x, patch, ch, g, obs, off = setup_problem(
-        rng, n_pts=n_pts, w=w, radius=radius)
-    wn = t_wc.shape[0]
-    t_id = jnp.tile(jnp.eye(4, dtype=t_wc.dtype)[None], (wn, 1, 1))
+        rng, n_pts=n_pts, w=2, radius=radius)
+    t = jnp.tile(jnp.eye(4, dtype=t_wc.dtype)[None], (2, 1, 1))
+    t = t.at[1, 2, 3].set(dz)              # camera 1 at z = dz, facing +z
     h, wi = ch.shape[-2], ch.shape[-1]
-    uv = rng.uniform([24.0, 24.0], [wi - 24.0, h - 24.0],
-                     size=(n_pts, 2)).astype(np.float32)
+    # Keep frame-1 projections in bounds: at z1 = z0 - dz the image
+    # positions scale by z0/z1 around the principal point.
+    m = 0.45 / max(z0 / max(z0 - dz, 0.125), 1.0)
+    lo = np.array([wi, h]) * (0.5 - m)
+    hi = np.array([wi, h]) * (0.5 + m)
+    uv = rng.uniform(lo, hi, size=(n_pts, 2)).astype(np.float32)
     z = jnp.full((n_pts,), z0, jnp.float32)
     x_world = cam_mod.backproject(cam, jnp.asarray(uv), z)  # identity pose
-    return cam, t_id, x_world, patch, ch, g, obs, off
+    if frame1_only:
+        obs = obs.at[:, 0].set(False)
+    ref_slot = jnp.zeros((n_pts,), jnp.int32)
+    return cam, t, x_world, patch, ch, g, obs, off, ref_slot
 
 
-def test_patch_scale_unit_rho_bitwise_neutral(rng):
-    """seed * z == 1 exactly -> rho == 1.0 -> patch_scale must reproduce
-    the fixed-grid evaluation BITWISE (oracle and compressed paths)."""
-    cam, t, x, patch, ch, g, obs, off = _exact_scale_problem(rng)
-    seeds = jnp.full((x.shape[0],), 0.5, jnp.float32)  # z = 2.0 -> rho = 1
+def _warp_tuple(mode, t, x, ref_slot):
+    z_ref, r_wc_ref = res_mod.patch_warp_ref_geometry(t, x, ref_slot)
+    return (mode, z_ref, r_wc_ref)
+
+
+def test_patch_warp_identity_bitwise_neutral(rng):
+    """dz = 0 -> z_ref == z_f exactly -> rho == 1.0 -> the warped
+    evaluation must reproduce the fixed-grid evaluation BITWISE (oracle
+    and compressed paths). This is the property the round-4 frozen-seed
+    variant LOST once depth drifted from the stereo seed."""
+    cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(
+        rng, dz=0.0, frame1_only=False)
     kw = dict(huber_delta=0.07, gradient_mode="sampled")
+    pw = _warp_tuple("scale", t, x, rs)
     a = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off, **kw)
     b = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
-                         patch_scale=seeds, **kw)
+                         patch_warp=pw, **kw)
     np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
     np.testing.assert_array_equal(np.asarray(a.j_pose), np.asarray(b.j_pose))
     np.testing.assert_array_equal(np.asarray(a.j_point),
@@ -481,68 +500,124 @@ def test_patch_scale_unit_rho_bitwise_neutral(rng):
     ca = res_mod.evaluate_compressed(cam, t, x, patch, ch, g, obs, off,
                                      backend="xla", **kw)
     cb = res_mod.evaluate_compressed(cam, t, x, patch, ch, g, obs, off,
-                                     backend="xla", patch_scale=seeds, **kw)
+                                     backend="xla", patch_warp=pw, **kw)
     np.testing.assert_array_equal(np.asarray(ca.gtg), np.asarray(cb.gtg))
     np.testing.assert_array_equal(np.asarray(ca.gtr), np.asarray(cb.gtr))
     assert float(ca.cost) == float(cb.cost)
+    # affine: M == I up to one rounding in (f/z)*(z/f); residuals match to
+    # float precision.
+    pa = _warp_tuple("affine", t, x, rs)
+    c = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
+                         patch_warp=pa, **kw)
+    np.testing.assert_allclose(np.asarray(c.r), np.asarray(a.r), atol=1e-5)
 
 
-@pytest.mark.parametrize("seed_val,rho", [(0.25, 2.0), (1.0, 0.5)])
-def test_patch_scale_equals_prescaled_offsets(rng, seed_val, rho):
-    """rho = 1/(seed*z): the scaled-grid evaluation must equal evaluating
-    with the offsets pre-multiplied by rho (sampling, residuals AND the
-    frozen-rho Jacobians are the same computation)."""
-    cam, t, x, patch, ch, g, obs, off = _exact_scale_problem(rng)
-    seeds = jnp.full((x.shape[0],), seed_val, jnp.float32)
+def test_patch_warp_ref_frame_always_unit(rng):
+    """The self-consistent factor is 1 in the REFERENCE frame whatever the
+    current depth estimate — the defining fix over the frozen-seed model
+    (which pulled depth back toward the stereo seed)."""
+    cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(rng, dz=0.0)
+    for x_cur in (x, x * 1.37):            # depth moved far from creation
+        z_ref, r_wc_ref = res_mod.patch_warp_ref_geometry(t, x_cur, rs)
+        rho = res_mod.patch_warp_frame("scale", cam, t[0],
+                                       se3.transform_points(
+                                           se3.se3_inverse(t[0]), x_cur),
+                                       z_ref, r_wc_ref)
+        np.testing.assert_array_equal(np.asarray(rho),
+                                      np.ones_like(np.asarray(rho)))
+
+
+@pytest.mark.parametrize("dz,rho", [(1.0, 2.0), (-2.0, 0.5)])
+def test_patch_warp_scale_equals_prescaled_offsets(rng, dz, rho):
+    """rho_1 = z0/z1 exact: the warped evaluation of the non-reference
+    frame must equal evaluating with the offsets pre-multiplied by rho
+    (sampling, residuals AND the frozen-warp Jacobians are the same
+    computation)."""
+    cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(rng, dz=dz)
     kw = dict(huber_delta=0.07, gradient_mode="sampled")
     a = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off * rho, **kw)
     b = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
-                         patch_scale=seeds, **kw)
+                         patch_warp=_warp_tuple("scale", t, x, rs), **kw)
     np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
     np.testing.assert_array_equal(np.asarray(a.j_pose), np.asarray(b.j_pose))
     assert float(a.cost) == float(b.cost)
 
 
-def test_patch_scale_clamped_to_bounds(rng):
-    """|log rho| beyond [0.5, 2] clamps: an extreme seed behaves exactly as
-    the boundary scale (PATCH_SCALE_MIN/MAX)."""
-    cam, t, x, patch, ch, g, obs, off = _exact_scale_problem(rng)
+@pytest.mark.parametrize("dz,bound", [(1.75, 2.0), (-14.0, 0.5)])
+def test_patch_warp_scale_clamped_to_bounds(rng, dz, bound):
+    """Depth ratios beyond [0.5, 2] clamp: an extreme ratio behaves exactly
+    as the boundary scale (PATCH_SCALE_MIN/MAX) — beyond 2x the planar
+    model has broken down and ZNCC tracking would have dropped the
+    observation anyway."""
+    cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(rng, dz=dz)
     kw = dict(huber_delta=0.07, gradient_mode="sampled")
-    # seed*z = 0.125 -> raw rho = 8 -> clamps to 2.0
-    hi = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
-                          patch_scale=jnp.full((x.shape[0],), 0.0625), **kw)
-    ref2 = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off * 2.0, **kw)
-    np.testing.assert_array_equal(np.asarray(hi.r), np.asarray(ref2.r))
-    # seed*z = 8 -> raw rho = 1/8 -> clamps to 0.5
-    lo = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
-                          patch_scale=jnp.full((x.shape[0],), 4.0), **kw)
-    ref05 = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off * 0.5, **kw)
-    np.testing.assert_array_equal(np.asarray(lo.r), np.asarray(ref05.r))
+    a = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off * bound, **kw)
+    b = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
+                         patch_warp=_warp_tuple("scale", t, x, rs), **kw)
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
 
 
-def test_patch_scale_pallas_backend_rejected(rng):
-    """The warp kernels share one subpixel phase per observation; a scaled
+def test_patch_warp_affine_matches_scale_on_axial_motion(rng):
+    """Pure optical-axis translation is the one regime where the full
+    affine model degenerates to the isotropic ratio: M = rho * I."""
+    cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(rng, dz=1.0)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled")
+    a = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
+                         patch_warp=_warp_tuple("scale", t, x, rs), **kw)
+    b = res_mod.evaluate(cam, t, x, patch, ch, g, obs, off,
+                         patch_warp=_warp_tuple("affine", t, x, rs), **kw)
+    np.testing.assert_allclose(np.asarray(b.r), np.asarray(a.r), atol=1e-5)
+    assert float(b.cost) == pytest.approx(float(a.cost), rel=1e-5)
+
+
+def test_patch_warp_affine_rotation_math():
+    """Analytic check of patch_warp_frame('affine'): for a pure in-plane
+    roll by theta between the reference and the observing camera, a point
+    on the optical axis must get M = R(-theta) (the sampling grid counter-
+    rotates to follow the template's appearance), at unit scale."""
+    cam = Camera(fx=128.0, fy=128.0, cx=64.0, cy=48.0, baseline=0.5)
+    theta = 0.3
+    c, s = np.cos(theta), np.sin(theta)
+    rz = np.eye(4, dtype=np.float32)
+    rz[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t = jnp.stack([jnp.eye(4, dtype=jnp.float32), jnp.asarray(rz)])
+    x = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)       # on-axis point
+    rs = jnp.zeros((1,), jnp.int32)
+    z_ref, r_wc_ref = res_mod.patch_warp_ref_geometry(t, x, rs)
+    y1 = se3.transform_points(se3.se3_inverse(t[1]), x)
+    m = np.asarray(res_mod.patch_warp_frame("affine", cam, t[1], y1,
+                                            z_ref, r_wc_ref))[0]
+    expect = np.array([[c, s], [-s, c]], np.float32)      # R(-theta)
+    np.testing.assert_allclose(m, expect, atol=1e-5)
+    # and the ref frame itself gets the identity
+    m0 = np.asarray(res_mod.patch_warp_frame(
+        "affine", cam, t[0],
+        se3.transform_points(se3.se3_inverse(t[0]), x), z_ref, r_wc_ref))[0]
+    np.testing.assert_allclose(m0, np.eye(2), atol=1e-6)
+
+
+def test_patch_warp_pallas_backend_rejected(rng):
+    """The warp kernels share one subpixel phase per observation; a warped
     grid needs per-column phases. evaluate_compressed must refuse rather
-    than silently ignore the scale."""
-    cam, t, x, patch, ch, g, obs, off = _exact_scale_problem(rng, n_pts=5)
-    with pytest.raises(ValueError, match="patchScale"):
+    than silently ignore the warp."""
+    cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(rng, n_pts=5)
+    with pytest.raises(ValueError, match="patchWarp"):
         res_mod.evaluate_compressed(
             cam, t, x, patch, ch, g, obs, off, huber_delta=0.07,
             backend="pallas", interpret=True,
-            patch_scale=jnp.full((x.shape[0],), 0.5))
+            patch_warp=_warp_tuple("scale", t, x, rs))
 
 
-def test_patch_scale_lm_converges(rng):
-    """Frozen-rho Jacobians still drive LM downhill: a perturbed problem
-    with patchScale on converges (monotone cost, recovers the unperturbed
-    cost level). The rho freeze affects step QUALITY only — accept/reject
-    tests the true scaled-grid cost."""
+@pytest.mark.parametrize("mode", ["scale", "affine"])
+def test_patch_warp_lm_converges(rng, mode):
+    """Frozen-warp Jacobians still drive LM downhill: a perturbed problem
+    with patchWarp on converges and recovers the poses. The warp freeze
+    affects step QUALITY only — accept/reject tests the true warped cost
+    (recomputed self-consistently at every candidate inside lm_solve)."""
     from photobundle_tpu.core import lm
 
     cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=16, w=3)
-    # True inverse-depth seeds: depth of each point in its ref frame (0).
-    z0 = se3.transform_points(se3.se3_inverse(t_wc[0]), x)[:, 2]
-    seeds = 1.0 / jnp.maximum(z0, 1e-6)
+    ref_slot = jnp.zeros((x.shape[0],), jnp.int32)
     pv = jnp.ones((x.shape[0],), bool)
     frozen = jnp.zeros((3,), bool).at[0].set(True)
     rng2 = np.random.default_rng(3)
@@ -550,7 +625,7 @@ def test_patch_scale_lm_converges(rng):
         jnp.asarray(rng2.normal(0, 5e-3, size=(2, 3)), jnp.float32))
     t_out, x_out, stats = lm.lm_solve(
         cam, t_pert, x, patch, ch, g, obs, pv, frozen, off,
-        huber_delta=0.07, backend="xla", patch_scale=seeds,
+        huber_delta=0.07, backend="xla", patch_warp=(mode, ref_slot),
         max_iterations=30)
     assert float(stats.final_cost) < float(stats.initial_cost)
     # Poses move back toward the truth.

@@ -56,6 +56,14 @@ def run(n_pts, w, iters=None):
         best = min(best, time.perf_counter() - t0)
     n = int(out[2].iterations)
     t_iter = (best - rtt) / n
+    # Refuse to emit non-physical numbers (round-4 verdict: the two-point
+    # predecessor of this tool committed -0.083 ms/iter into a published
+    # log). A negative/zero slope means the chained run did not dwarf the
+    # RTT — a methodology failure, never a measurement.
+    if not (t_iter > 0) or best < 3 * rtt:
+        raise RuntimeError(
+            f"non-physical slope at {n_pts}x{w}: best={best * 1e3:.2f} ms "
+            f"vs RTT={rtt * 1e3:.2f} ms over {n} iters — increase `iters`")
     print(json.dumps({
         "points": n_pts, "window": w, "observations": n_pts * w,
         "ms_per_lm_iteration": round(t_iter * 1e3, 3),
