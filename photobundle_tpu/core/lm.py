@@ -196,6 +196,7 @@ def lm_solve(
     # Sampling context (image panels, 2D descriptors) is loop-invariant —
     # build once, reuse in every iteration's eval and cost passes.
     eval_ctx = None
+    point_order = None
     if backend == "pallas":
         from .residuals import make_pallas_ctx
 
@@ -203,6 +204,41 @@ def lm_solve(
         eval_ctx = make_pallas_ctx(
             channels, grads, patch, pr,
             mode="bicubic" if gradient_mode == "bicubic" else "sampled")
+
+        # Sorted dispatch (round-4 verdict task 4) — MEASURED AND REFUTED,
+        # default OFF (PB_SORTED_DISPATCH=1 re-runs the experiment; the
+        # mechanism stays bitwise-pinned in test_patch_stats). Feeding the
+        # packed kernel points in (panel, y-row) order makes a 65k group
+        # want only ~2.06 distinct row windows (ideal 3.4x load elision,
+        # benchlogs/r5_sorted_dispatch.log) — but every in-kernel sharing
+        # mechanism costs more than the loads it saves: the lax.cond
+        # elision chain runs 0.64x (scalar branches ~7 ns each), and the
+        # branch-free superwindow + dynamic-sublane-roll op mix is also
+        # slower than per-observation loads (ablate SET4, r5_ablate_
+        # superwindow.log: loads-only 2.03 vs 1.71 ms). The (win, 128)
+        # VMEM load is issue-slot-cheap, not bandwidth-bound; nothing
+        # beats just issuing it. See BASELINE.md "Sorted dispatch".
+        import os as _os
+
+        _sd = _os.environ.get("PB_SORTED_DISPATCH", "0")
+        n_pts = x_world.shape[0]
+        if (eval_ctx[0] == "sampled" and not frames_sharded
+                and _sd == "1"):
+            from ..geometry import camera as cam_mod
+            from ..ops import patch_warp as pw_mod
+
+            panels0 = eval_ctx[1]
+            n_pan, img_h = panels0.shape[2], panels0.shape[3]
+            mid = w_local // 2
+            t_cw = se3.se3_inverse(t_wc[mid])
+            y_mid = x_world @ t_cw[:3, :3].T + t_cw[:3, 3]
+            uv_mid, in_front = cam_mod.project(cam, y_mid)
+            y0k, pank, _ = pw_mod.dispatch_geometry(
+                uv_mid[:, 0], uv_mid[:, 1], img_h, n_pan, pr)
+            key = jnp.where(in_front & obs_mask[:, mid],
+                            pank * img_h + y0k, n_pan * img_h)
+            point_order = residuals_mod.sorted_dispatch_order(
+                key.astype(jnp.int32), n_pts, pr)
 
     def eval_stats(t, x):
         # patch_warp = (mode, ref_slot GLOBAL): the warp factors are
@@ -221,7 +257,8 @@ def lm_solve(
                                    backend=backend, ctx=eval_ctx,
                                    normalize=normalize,
                                    robust_kind=robust_kind,
-                                   patch_warp=pw)
+                                   patch_warp=pw,
+                                   point_order=point_order)
 
     # Relative-pose motion prior (no reference counterpart): anchors each
     # consecutive window pair's relative pose to its initialization,

@@ -413,10 +413,29 @@ def packed_geometry(n: int, patch_radius: int, gchunk: int = 32):
     return g_obs, gchunk, gpf, gpf * g_obs
 
 
+def dispatch_geometry(x, y, h: int, n_pan: int, patch_radius: int):
+    """The (y0, panel, lane-offset) integer dispatch the packed kernel uses
+    for coordinates (x, y) — shared by the kernel launch and the sorted-
+    dispatch key so the sort groups EXACTLY the loads the kernel will
+    issue."""
+    stride = lane_stride(patch_radius)
+    win = 2 * patch_radius + 2
+    wl = 3 * win
+    x0 = jnp.floor(x).astype(jnp.int32) - patch_radius
+    y0 = jnp.floor(y).astype(jnp.int32) - patch_radius
+    max_lane0 = (n_pan - 1) * stride + PANEL_W - wl
+    lane0 = jnp.clip(3 * x0, 0, max_lane0)
+    y0 = jnp.clip(y0, 0, h - win)
+    pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
+    off = (lane0 - pan * stride).astype(jnp.int32)
+    return y0, pan, off
+
+
 def warp_patches_grouped(panels, uv, valid, patch_radius: int,
                          interpret: bool = False, gchunk: int = 32,
                          dpack=None, center: bool = False,
-                         fuse_stats: bool = False):
+                         fuse_stats: bool = False,
+                         sort_reuse: bool = False):
     """Run the lane-packed kernel and return the RAW packed output.
 
     Returns (packed, n_pad) with packed (C, W, GPF, ps, 128): group g of
@@ -444,7 +463,6 @@ def warp_patches_grouped(panels, uv, valid, patch_radius: int,
     c = panels.shape[1]
     n_pan = panels.shape[2]
     h = panels.shape[3]
-    stride = lane_stride(patch_radius)
     ps = 2 * patch_radius + 1
     win = ps + 1
     wl = 3 * win
@@ -457,15 +475,9 @@ def warp_patches_grouped(panels, uv, valid, patch_radius: int,
     pad = ((0, n_pad - n), (0, 0))
     x = jnp.pad(x, pad)
     y = jnp.pad(y, pad)
-    x0 = jnp.floor(x).astype(jnp.int32) - patch_radius
-    y0 = jnp.floor(y).astype(jnp.int32) - patch_radius
     fx = (x - jnp.floor(x)).astype(jnp.float32)
     fy = (y - jnp.floor(y)).astype(jnp.float32)
-    max_lane0 = (n_pan - 1) * stride + PANEL_W - wl
-    lane0 = jnp.clip(3 * x0, 0, max_lane0)
-    y0 = jnp.clip(y0, 0, h - win)
-    pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
-    off = (lane0 - pan * stride).astype(jnp.int32)
+    y0, pan, off = dispatch_geometry(x, y, h, n_pan, patch_radius)
 
     def groups(a):  # (N_pad, W) -> (W, GPF, G): [w, g, j] = point j*GPF+g
         return jnp.moveaxis(a, 0, 1).reshape(w, g_obs, gpf).swapaxes(1, 2)
@@ -504,12 +516,14 @@ def warp_patches_grouped(panels, uv, valid, patch_radius: int,
         kern = functools.partial(_warp_kernel_packed, gchunk=gchunk,
                                  patch_radius=patch_radius, g_obs=g_obs,
                                  sub_d=True, center=center,
-                                 fuse_stats=fuse_stats)
+                                 fuse_stats=fuse_stats,
+                                 sort_reuse=sort_reuse)
     else:
         base = functools.partial(_warp_kernel_packed, gchunk=gchunk,
                                  patch_radius=patch_radius, g_obs=g_obs,
                                  sub_d=False, center=center,
-                                 fuse_stats=fuse_stats)
+                                 fuse_stats=fuse_stats,
+                                 sort_reuse=sort_reuse)
         kern = lambda y, p, o, f, i, out: base(y, p, o, f, i, None, out)
     rows_out = 6 if fuse_stats else ps
     out = pl.pallas_call(

@@ -51,10 +51,11 @@ def ablate_kernel(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
                   static_y0=False, static_pan=False, roll_mode="dyn",
                   do_select=True, do_combine=True, do_subd=True,
                   do_center=True, do_stats=True, combine_mode="orig",
-                  stats_mode="concat"):
+                  stats_mode="concat", load_mode="per_obs"):
     ps = 2 * patch_radius + 1
     win = ps + 1
     wl = 3 * win
+    sup_h = 16  # superwindow height for load_mode='superwindow'
     lane = jax.lax.broadcasted_iota(jnp.int32, (win, PANEL_W), 1)
     masks = [(lane >= wl * j) & (lane < wl * (j + 1)) for j in range(g_obs)]
     li = jax.lax.broadcasted_iota(jnp.int32, (PANEL_W, PANEL_W), 0)
@@ -65,12 +66,28 @@ def ablate_kernel(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
 
     def one(g):
         parts = []
+        if load_mode == "superwindow":
+            # Round-5 sorted-dispatch design-B probe (branch-free): ONE
+            # (sup_h, 128) load per group at the group's base window, each
+            # observation extracted by a DYNAMIC SUBLANE roll instead of
+            # its own load. Results are WRONG (the delta is taken mod
+            # sup_h and the base is obs 0's window, with no coverage
+            # fallback) — this times the op mix a bucket-padded dispatch
+            # would run: 1 load / G + 1 sublane roll per obs.
+            h_img = img_ref.shape[3]
+            y0g = jnp.minimum(y_ref[0, 0, g * g_obs], h_img - sup_h)
+            pg = 0 if static_pan else pan_ref[0, 0, g * g_obs]
+            sup = img_ref[0, 0, pg, pl.ds(y0g, sup_h), :]   # (sup_h, 128)
         for j in range(g_obs):
             i = g * g_obs + j
             y0 = 0 if static_y0 else y_ref[0, 0, i]
             p = 0 if static_pan else pan_ref[0, 0, i]
             o = off_ref[0, 0, i]
-            rows = img_ref[0, 0, p, pl.ds(y0, win), :]
+            if load_mode == "superwindow":
+                d = (y0 - y0g) & (sup_h - 1)
+                rows = pltpu.roll(sup, sup_h - d, 0)[:win]
+            else:
+                rows = img_ref[0, 0, p, pl.ds(y0, win), :]
             if roll_mode == "dyn":
                 wnd = pltpu.roll(rows, wl * j - o, 1)
             elif roll_mode == "static":
@@ -291,6 +308,12 @@ if os.environ.get("PB_ABL_SET2", "0") == "1":
                 do_stats=False)
     run_variant("static everything", static_y0=True, static_pan=True,
                 roll_mode="static")
+if os.environ.get("PB_ABL_SET4", "0") == "1":
+    # Round-5: branch-free load-sharing probes (sorted-dispatch design B).
+    run_variant("superwindow loads", load_mode="superwindow")
+    run_variant("superwindow, loads only", load_mode="superwindow",
+                roll_mode="none", do_select=False, do_combine=False,
+                do_subd=False, do_center=False, do_stats=False)
 if os.environ.get("PB_ABL_SET3", "0") == "1":
     run_variant("combine=hoist", combine_mode="hoist")
     run_variant("combine=lerp", combine_mode="lerp")

@@ -82,6 +82,14 @@ CONFIGS = {
     "W5_production_tukey": dict(slidingWindowSize=5, motionPriorWeight=2.0,
                                 posePriorWeight=4.0, robustLoss="tukey",
                                 robustThreshold=0.3),
+    # Production + self-consistent patch-grid scaling (round 5): the
+    # model-fidelity lever for SHARP texture (the fixed fronto-parallel
+    # grid decorrelates under ~8%/frame footprint change). The round-4
+    # frozen-seed variant DEGRADED ATE; the self-consistent reformulation
+    # (rho identically 1 in the ref frame) beats the fixed grid on the
+    # sharp golden — see BASELINE.md.
+    "W5_production_pwscale": dict(slidingWindowSize=5, motionPriorWeight=2.0,
+                                  posePriorWeight=4.0, patchWarp="scale"),
 }
 
 

@@ -64,7 +64,7 @@ if [ "$phase" = "all" ] || [ "$phase" = "golden" ]; then
     # AND walk, seeds 99/7/123, on the cached SS2 sharp dataset.
     # Provenance: jax renderer, supersample 2, min-wavelength 0.10,
     # 100 frames, dataset root /tmp/golden_sharp.
-    CFGS=reference_W5,W5_production,W5_production_c2f,W5_production_tukey
+    CFGS=reference_W5,W5_production,W5_production_c2f,W5_production_tukey,W5_production_pwscale
     for seed in 99 7 123; do
         for model in iid walk; do
             run "r5g_sharp_${model}_s${seed}" python tools/golden_kitti.py \
