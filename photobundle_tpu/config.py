@@ -118,11 +118,12 @@ class PBAConfig:
                                           # scale change under forward
                                           # motion — BASELINE.md "Texture-
                                           # sharpness probe"); scale clamped
-                                          # to [0.5, 2]. Runs on the XLA
-                                          # sampling path (the Pallas warp
-                                          # kernels assume one subpixel
-                                          # phase per observation; auto
-                                          # backend falls back to xla).
+                                          # to [0.5, 2]. 'scale' runs on
+                                          # the Pallas scaled gather kernel
+                                          # (bilinear/sampled); 'affine' is
+                                          # a full 2-D warp and runs on the
+                                          # XLA sampling path (auto backend
+                                          # falls back to xla).
     patchScale: bool = False              # DEPRECATED alias for
                                           # patchWarp = scale. The round-4
                                           # frozen-seed variant this key
@@ -441,11 +442,16 @@ class PBAConfig:
         XLA elsewhere."""
         if self.solverBackend != "auto":
             return self.solverBackend
-        if self.resolve_patch_warp() is not None:
-            return "xla"   # warped patch grids: gather path only (for now)
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        pw = self.resolve_patch_warp()
+        if pw is not None:
+            # 'scale' runs on the scaled gather kernel (round-5); 'affine'
+            # (full 2-D warp) is gather-path only.
+            ok = (pw == "scale" and self.interpolation == "bilinear"
+                  and self.gradientMode == "sampled")
+            return "pallas" if (on_tpu and ok) else "xla"
         fast_path = ((self.interpolation == "bilinear"
                       and self.gradientMode == "sampled")
                      or self.interpolation == "bicubic")
@@ -477,10 +483,14 @@ class PBAConfig:
             raise ValueError("gradientSigma must be >= 0 (0 = off)")
         if self.patchWarp not in ("none", "scale", "affine"):
             raise ValueError(f"unknown patchWarp '{self.patchWarp}'")
-        if (self.resolve_patch_warp() is not None
-                and self.solverBackend == "pallas"):
-            raise ValueError("patchWarp/patchScale requires the XLA "
-                             "sampling path; set solverBackend to auto "
+        pw = self.resolve_patch_warp()
+        if (pw is not None and self.solverBackend == "pallas"
+                and (pw != "scale" or self.interpolation != "bilinear"
+                     or self.gradientMode != "sampled")):
+            raise ValueError("only patchWarp='scale' with bilinear/sampled "
+                             "runs on the pallas backend; patchWarp="
+                             "'affine' (or other sampling modes) requires "
+                             "the XLA path — set solverBackend to auto "
                              "or xla")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")

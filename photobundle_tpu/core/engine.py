@@ -447,10 +447,14 @@ class PhotometricBundleAdjustment:
             _gmode = cfg.resolve_gradient_mode()
             _ctx = None
             if _backend == "pallas":
-                _ctx = _mk_ctx(
-                    window.channels, window.grads, points.patch,
-                    cfg.patchRadius,
-                    mode="bicubic" if _gmode == "bicubic" else "sampled")
+                if warp_mode is not None and _gmode == "sampled":
+                    _ctx_mode = "scaled"   # warped-grid gather panels
+                elif _gmode == "bicubic":
+                    _ctx_mode = "bicubic"
+                else:
+                    _ctx_mode = "sampled"
+                _ctx = _mk_ctx(window.channels, window.grads, points.patch,
+                               cfg.patchRadius, mode=_ctx_mode)
 
             _pp = ((window.t_vo, cfg.posePriorWeight, cfg.posePriorRotWeight)
                    if (cfg.posePriorWeight > 0 or cfg.posePriorRotWeight > 0)

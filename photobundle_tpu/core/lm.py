@@ -201,9 +201,14 @@ def lm_solve(
         from .residuals import make_pallas_ctx
 
         pr = (int(round(offsets.shape[0] ** 0.5)) - 1) // 2
-        eval_ctx = make_pallas_ctx(
-            channels, grads, patch, pr,
-            mode="bicubic" if gradient_mode == "bicubic" else "sampled")
+        if patch_warp is not None and gradient_mode == "sampled":
+            ctx_mode = "scaled"     # warped-grid gather (patchWarp='scale')
+        elif gradient_mode == "bicubic":
+            ctx_mode = "bicubic"
+        else:
+            ctx_mode = "sampled"
+        eval_ctx = make_pallas_ctx(channels, grads, patch, pr,
+                                   mode=ctx_mode)
 
         # Sorted dispatch (round-4 verdict task 4) — MEASURED AND REFUTED,
         # default OFF (PB_SORTED_DISPATCH=1 re-runs the experiment; the

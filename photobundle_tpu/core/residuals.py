@@ -167,8 +167,9 @@ def _observation_geometry(cam, t_wc_f, x_world):
     return y, uv, in_front, jnp.concatenate([a_pose, a_point], axis=-1)  # A: (N, 2, 9)
 
 
-PATCH_SCALE_MIN = 0.5
-PATCH_SCALE_MAX = 2.0
+# Single definition in ops/patch_warp: the scaled gather kernel sizes its
+# load window from the same clamp the warp model applies.
+from ..ops.patch_warp import PATCH_SCALE_MIN, PATCH_SCALE_MAX  # noqa: E402
 
 
 def patch_warp_ref_geometry(t_wc, x_world, ref_slot):
@@ -481,13 +482,17 @@ def make_pallas_ctx(channels, grads, patch, patch_radius: int,
     mode='sampled': lane-interleaved (value, gx, gy) panels for the
     bilinear warp kernel. mode='bicubic': value-only panels; the bicubic
     kernel computes exact Catmull-Rom surface gradients in-kernel (Ceres
-    BiCubicInterpolator parity)."""
+    BiCubicInterpolator parity). mode='scaled': wide interleaved panels for
+    the per-observation warped-grid gather (cfg.patchWarp='scale')."""
     from ..ops import patch_warp as pw_mod
 
     ps = int(round(patch.shape[2] ** 0.5))
     pr = (ps - 1) // 2
     if mode == "bicubic":
         return ("bicubic", pw_mod.build_value_panels(channels, pr))
+    if mode == "scaled":
+        return ("scaled", pw_mod.build_interleaved_panels(
+            channels, grads, pr, win_px=pw_mod.scaled_win_px(pr)))
     return ("sampled", pw_mod.build_interleaved_panels(channels, grads, pr))
 
 
@@ -689,12 +694,15 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
                                 ctx=None,
                                 normalize: bool = True,
                                 robust_kind: str = "huber",
+                                patch_warp: tuple | None = None,
                                 point_order=None) -> CompressedResiduals:
     """Kernel-backed path: ops/patch_warp samples (value, gx, gy) patches —
     the one op XLA gathers ruin — and the stat algebra (means, Grams,
     Huber) runs as dense XLA, identical to the gather path's math.
     mode='bicubic' routes sampling through the Catmull-Rom kernel with
-    exact in-kernel surface gradients (Ceres parity)."""
+    exact in-kernel surface gradients (Ceres parity). patch_warp =
+    ('scale', z_ref, r_wc_ref) routes through the scaled gather kernel
+    (warped grid, cfg.patchWarp='scale'); requires mode='sampled'."""
     from ..ops import patch_warp as pw_mod
 
     n, w = obs_mask.shape
@@ -714,8 +722,24 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
     # _observation_geometry_pm for why not the vmapped per-frame form).
     y_pm, uv, in_front, a, r_cw = _observation_geometry_pm(cam, t_wc,
                                                            x_world)
-    in_bounds = ((uv[:, 0] >= lo) & (uv[:, 0] <= img_w - hi) &
-                 (uv[:, 1] >= lo) & (uv[:, 1] <= img_h - hi))
+    rho = None
+    if patch_warp is not None:
+        if mode != "sampled" or patch_warp[0] != "scale":
+            raise ValueError("pallas patch_warp supports mode='sampled' "
+                             "with patchWarp='scale' only")
+        _, z_ref, _ = patch_warp
+        z_f = jnp.maximum(y_pm[:, 2], 1e-6)                # (W, N)
+        rho = jnp.where(z_ref[None] > 0,
+                        jnp.clip(z_ref[None] / z_f,
+                                 PATCH_SCALE_MIN, PATCH_SCALE_MAX), 1.0)
+        # Warped support: the patch extends rho*pr from the center, and
+        # the gather window pays one clamp-free guard pixel per side.
+        ext = rho * pr
+        in_bounds = ((uv[:, 0] >= 1 + ext) & (uv[:, 0] <= img_w - 2 - ext) &
+                     (uv[:, 1] >= 1 + ext) & (uv[:, 1] <= img_h - 2 - ext))
+    else:
+        in_bounds = ((uv[:, 0] >= lo) & (uv[:, 0] <= img_w - hi) &
+                     (uv[:, 1] >= lo) & (uv[:, 1] <= img_h - hi))
     valid = obs_mask.T & in_front & in_bounds              # (W, N)
     if use_prior:
         rp, jp = _prior_terms_pm(r_cw, y_pm, valid, depth_prior,
@@ -724,18 +748,31 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
         rp = jnp.zeros((w, n), uv.dtype)
         jp = jnp.zeros((w, 9, n), uv.dtype)
 
+    want_mode = "scaled" if rho is not None else mode
     if ctx is None:
-        ctx = make_pallas_ctx(channels, grads, patch, pr, mode=mode)
+        ctx = make_pallas_ctx(channels, grads, patch, pr, mode=want_mode)
     ctx_mode, panels = ctx
-    if ctx_mode != mode:
+    if ctx_mode != want_mode:
         raise ValueError(f"pallas ctx built for mode '{ctx_mode}', "
-                         f"evaluation requested '{mode}'")
+                         f"evaluation requested '{want_mode}'")
     uv_nm = jnp.transpose(uv, (2, 0, 1))                   # (N, W, 2)
     valid_nm = valid.T                                     # (N, W)
     norm_mode = patches_mod.norm_mode(normalize)
     use_grouped = (mode == "sampled" and norm_mode in ("mean", "off")
                    and os.environ.get("PB_GROUPED_STATS", "1") != "0")
-    if use_grouped:
+    if use_grouped and rho is not None:
+        # Warped-grid production path: the fused scaled kernel emits the
+        # SAME packed-stats layout as the fixed kernel (no unpack — the
+        # dense alternative pays ~68x tile padding, see
+        # warp_patches_grouped_scaled). Sorted dispatch does not apply
+        # (refuted for the fixed kernel; never built here).
+        _, _, _, n_pad = pw_mod.packed_geometry(n, pr)
+        dpack = _pack_descriptors(patch, pr, n_pad)
+        packed, n_pad = pw_mod.warp_patches_grouped_scaled(
+            panels, uv_nm, rho.T, valid_nm, pr, interpret=interpret,
+            dpack=dpack, center=(norm_mode == "mean"), fuse_stats=True)
+        gtg, gtr, rnorm2 = _grouped_stats(packed, n, n_pad, pr, norm_mode)
+    elif use_grouped:
         # Production path: packed kernel (with in-kernel descriptor
         # subtraction) + grouped stats, no unpack relayout (round-3
         # verdict task 1 — see _grouped_stats).
@@ -766,7 +803,10 @@ def _evaluate_compressed_pallas(cam, t_wc, x_world, patch, channels, grads,
             gtg, gtr, rnorm2 = _grouped_stats(packed, n, n_pad, pr,
                                               norm_mode)
     else:
-        if mode == "bicubic":
+        if rho is not None:
+            s, gx, gy = pw_mod.warp_patches_scaled(
+                panels, uv_nm, rho.T, valid_nm, pr, interpret=interpret)
+        elif mode == "bicubic":
             s, gx, gy = pw_mod.warp_patches_bicubic(
                 panels, uv_nm, valid_nm, pr, interpret=interpret)
         else:
@@ -848,18 +888,20 @@ def evaluate_compressed(cam, t_wc, x_world, patch, channels, grads, obs_mask,
             raise ValueError(
                 "pallas backend implements gradient_mode 'sampled' or "
                 f"'bicubic', not '{gradient_mode}'")
-        if patch_warp is not None:
-            # The warp kernels share one subpixel phase per observation
-            # (integer-aligned patch grid); a warped grid needs per-column
-            # dynamic lane shifts — deferred. cfg.resolve_backend routes
-            # patchWarp to the XLA path.
-            raise ValueError("pallas backend does not implement patchWarp; "
-                             "use solverBackend=xla")
+        if patch_warp is not None and (gradient_mode != "sampled"
+                                       or patch_warp[0] != "scale"):
+            # 'scale' runs on the scaled gather kernel (round-5 verdict
+            # task 5); 'affine' warps each patch row differently in BOTH
+            # axes — a full 2-D gather the window kernels cannot tile —
+            # and stays on the XLA path (cfg.resolve_backend routes it).
+            raise ValueError(
+                "pallas backend implements patchWarp='scale' with "
+                "gradient_mode='sampled' only; use solverBackend=xla")
         return _evaluate_compressed_pallas(
             cam, t_wc, x_world, patch, channels, grads, obs_mask, offsets,
             huber_delta, depth_prior, interpret, mode=gradient_mode,
             ctx=ctx, normalize=normalize, robust_kind=robust_kind,
-            point_order=point_order)
+            patch_warp=patch_warp, point_order=point_order)
     n, w = obs_mask.shape
     use_prior = depth_prior is not None and depth_prior[2] > 0.0
 

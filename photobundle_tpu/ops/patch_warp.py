@@ -37,30 +37,54 @@ from jax.experimental.pallas import tpu as pltpu
 PANEL_W = 128
 _MAX_SMEM_CHUNK = 256
 
+# Patch-grid warp clamp (cfg.patchWarp; core/residuals imports these). The
+# scaled gather kernel sizes its load window from PATCH_SCALE_MAX, so the
+# clamp and the kernel window are one definition.
+PATCH_SCALE_MIN = 0.5
+PATCH_SCALE_MAX = 2.0
 
-def lane_stride(patch_radius: int) -> int:
+
+def default_win_px(patch_radius: int) -> int:
+    """Fixed-grid load window in pixels: patch span + 1 bilinear tap."""
+    return 2 * patch_radius + 2
+
+
+def scaled_win_px(patch_radius: int) -> int:
+    """Load window (pixels, = rows) covering a patch warped by any
+    rho <= PATCH_SCALE_MAX plus the bilinear tap."""
+    return 2 * int(np.ceil(PATCH_SCALE_MAX * patch_radius)) + 2
+
+
+def lane_stride(patch_radius: int, win_px: int | None = None) -> int:
     """Panel lane stride: multiple of 3 (interleave phase) leaving room for
-    one 3*(2R+2)-lane window."""
-    win_lanes = 3 * (2 * patch_radius + 2)
-    return ((PANEL_W - win_lanes) // 3) * 3
+    one 3*win_px-lane window."""
+    if win_px is None:
+        win_px = default_win_px(patch_radius)
+    return ((PANEL_W - 3 * win_px) // 3) * 3
 
 
-def num_panels(width: int, patch_radius: int) -> int:
+def num_panels(width: int, patch_radius: int,
+               win_px: int | None = None) -> int:
     lanes = 3 * width
     if lanes <= PANEL_W:
         return 1
-    return int(np.ceil((lanes - PANEL_W) / lane_stride(patch_radius))) + 1
+    return int(np.ceil((lanes - PANEL_W)
+                       / lane_stride(patch_radius, win_px))) + 1
 
 
 def build_interleaved_panels(channels: jax.Array, grads: jax.Array,
-                             patch_radius: int) -> jax.Array:
+                             patch_radius: int,
+                             win_px: int | None = None) -> jax.Array:
     """(W, C, H, Wi) values + (W, C, H, Wi, 2) gradients ->
-    (W, C, NPANEL, H, 128) lane-interleaved overlapping panels."""
+    (W, C, NPANEL, H, 128) lane-interleaved overlapping panels.
+
+    win_px widens the per-window lane budget (smaller stride, more panels)
+    for the scaled gather kernel's rho-expanded windows."""
     w, c, h, wi = channels.shape
     inter = jnp.stack([channels, grads[..., 0], grads[..., 1]],
                       axis=-1).reshape(w, c, h, 3 * wi)
-    stride = lane_stride(patch_radius)
-    n_pan = num_panels(wi, patch_radius)
+    stride = lane_stride(patch_radius, win_px)
+    n_pan = num_panels(wi, patch_radius, win_px)
     need = (n_pan - 1) * stride + PANEL_W
     if need > 3 * wi:
         inter = jnp.pad(inter, ((0, 0), (0, 0), (0, 0), (0, need - 3 * wi)))
@@ -267,6 +291,57 @@ def warp_patches_bicubic(panels: jax.Array, uv: jax.Array, valid: jax.Array,
     return s, gx, gy
 
 
+def _packed_epilogue(s3, g, dpk_ref, out_ref, mseg, inv_p, *, sub_d: bool,
+                     center: bool, fuse_stats: bool):
+    """Shared tail of the packed kernels: descriptor subtraction, segment
+    -mean centering, fused Gauss-Newton statistics, store. `s3` is the
+    (ps, 128) combined sample tile (value/gx/gy lane-interleaved at
+    3*(ps+1)-lane observation segments)."""
+    if sub_d:
+        # Pre-packed reference descriptor (value lanes only, zero on
+        # gradient lanes): value lanes now hold v - d, so downstream
+        # residual statistics are products of SMALL quantities.
+        s3 = s3 - dpk_ref[0, g]
+    if center:
+        # Per-patch mean removal (cfg.normalizePatches), per plane —
+        # planes live on disjoint lanes, so one segment-mean matmul
+        # centers value AND both gradients at once. Subtracting d
+        # first shifts the value mean by mean(d) = 0 (mean-normalized
+        # descriptors), so (v - d) - mean(v - d) == (v - mean v) - d.
+        colsum = jnp.sum(s3, axis=0, keepdims=True)     # (1, 128)
+        mean_vec = jax.lax.dot_general(
+            colsum, mseg, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)         # (1, 128)
+        s3 = s3 - mean_vec * inv_p
+    if fuse_stats:
+        # Emit the six Gauss-Newton product row-sums instead of the
+        # samples: rows [gx*gx, gx*gy, gy*gy, gx*r, gy*r, r*r], each
+        # (1, 128) with observation j's per-column partial sums on its
+        # wl*j+3k value lanes (core/residuals._grouped_stats contracts
+        # them 128 -> G on the MXU). r = centered (v - d) at value
+        # lanes; t1/t2 = the +1/+2 lane rolls putting gx/gy there.
+        t1 = pltpu.roll(s3, PANEL_W - 1, 1)
+        t2 = pltpu.roll(s3, PANEL_W - 2, 1)
+        out_ref[0, g] = jnp.concatenate(
+            [jnp.sum(t1 * t1, axis=0, keepdims=True),
+             jnp.sum(t1 * t2, axis=0, keepdims=True),
+             jnp.sum(t2 * t2, axis=0, keepdims=True),
+             jnp.sum(t1 * s3, axis=0, keepdims=True),
+             jnp.sum(t2 * s3, axis=0, keepdims=True),
+             jnp.sum(s3 * s3, axis=0, keepdims=True)], axis=0)
+    else:
+        out_ref[0, g] = s3
+
+
+def _make_mseg(wl: int, ps: int):
+    """Segment-mean matrix for _packed_epilogue's centering matmul."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (PANEL_W, PANEL_W), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (PANEL_W, PANEL_W), 1)
+    return (((li // wl) == (lj // wl)) & (((lj - li) % 3) == 0)
+            & ((li % wl) < 3 * ps)).astype(jnp.float32)
+
+
 def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
                         out_ref, *, gchunk: int, patch_radius: int,
                         g_obs: int, sub_d: bool, center: bool,
@@ -295,10 +370,7 @@ def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
         # ps valid patch-column sums in l's observation segment — exact
         # per-patch mean removal in ONE tiny MXU op (a lane roll-tree costs
         # ~20 VPU issues/group; measured +2.5 ms at 65k x 5).
-        li = jax.lax.broadcasted_iota(jnp.int32, (PANEL_W, PANEL_W), 0)
-        lj = jax.lax.broadcasted_iota(jnp.int32, (PANEL_W, PANEL_W), 1)
-        mseg = (((li // wl) == (lj // wl)) & (((lj - li) % 3) == 0)
-                & ((li % wl) < 3 * ps)).astype(jnp.float32)
+        mseg = _make_mseg(wl, ps)
         inv_p = 1.0 / float(ps * ps)
 
     def one(g):
@@ -352,41 +424,9 @@ def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
         r3 = pltpu.roll(acc, PANEL_W - 3, 1)               # the +3-lane taps
         s3 = (w00[:ps] * acc[:ps, :] + w01[:ps] * r3[:ps, :]
               + w10[:ps] * acc[1:, :] + w11[:ps] * r3[1:, :])  # (ps, 128)
-        if sub_d:
-            # Pre-packed reference descriptor (value lanes only, zero on
-            # gradient lanes): value lanes now hold v - d, so downstream
-            # residual statistics are products of SMALL quantities.
-            s3 = s3 - dpk_ref[0, g]
-        if center:
-            # Per-patch mean removal (cfg.normalizePatches), per plane —
-            # planes live on disjoint lanes, so one segment-mean matmul
-            # centers value AND both gradients at once. Subtracting d
-            # first shifts the value mean by mean(d) = 0 (mean-normalized
-            # descriptors), so (v - d) - mean(v - d) == (v - mean v) - d.
-            colsum = jnp.sum(s3, axis=0, keepdims=True)     # (1, 128)
-            mean_vec = jax.lax.dot_general(
-                colsum, mseg, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)         # (1, 128)
-            s3 = s3 - mean_vec * inv_p
-        if fuse_stats:
-            # Emit the six Gauss-Newton product row-sums instead of the
-            # samples: rows [gx*gx, gx*gy, gy*gy, gx*r, gy*r, r*r], each
-            # (1, 128) with observation j's per-column partial sums on its
-            # wl*j+3k value lanes (core/residuals._grouped_stats contracts
-            # them 128 -> G on the MXU). r = centered (v - d) at value
-            # lanes; t1/t2 = the +1/+2 lane rolls putting gx/gy there.
-            t1 = pltpu.roll(s3, PANEL_W - 1, 1)
-            t2 = pltpu.roll(s3, PANEL_W - 2, 1)
-            out_ref[0, g] = jnp.concatenate(
-                [jnp.sum(t1 * t1, axis=0, keepdims=True),
-                 jnp.sum(t1 * t2, axis=0, keepdims=True),
-                 jnp.sum(t2 * t2, axis=0, keepdims=True),
-                 jnp.sum(t1 * s3, axis=0, keepdims=True),
-                 jnp.sum(t2 * s3, axis=0, keepdims=True),
-                 jnp.sum(s3 * s3, axis=0, keepdims=True)], axis=0)
-        else:
-            out_ref[0, g] = s3
+        _packed_epilogue(s3, g, dpk_ref, out_ref, mseg if center else None,
+                         inv_p if center else 0.0, sub_d=sub_d,
+                         center=center, fuse_stats=fuse_stats)
 
     # FULLY unrolled: a lax.fori_loop here makes every per-group index
     # dynamic (SMEM scalar reads, fxl loads, the out store) and costs 2.1x
@@ -397,17 +437,20 @@ def _warp_kernel_packed(y_ref, pan_ref, off_ref, fxl_ref, img_ref, dpk_ref,
         one(g)
 
 
-def packed_group_size(patch_radius: int) -> int:
-    """Observations lane-packed per 128-lane group: G = 128 // (3*(ps+1))."""
-    return PANEL_W // (3 * (2 * patch_radius + 2))
+def packed_group_size(patch_radius: int, win_px: int | None = None) -> int:
+    """Observations lane-packed per 128-lane group: G = 128 // (3*win_px)."""
+    if win_px is None:
+        win_px = default_win_px(patch_radius)
+    return PANEL_W // (3 * win_px)
 
 
-def packed_geometry(n: int, patch_radius: int, gchunk: int = 32):
+def packed_geometry(n: int, patch_radius: int, gchunk: int = 32,
+                    win_px: int | None = None):
     """Padding plan for the packed kernel: (g_obs, gchunk, gpf, n_pad).
 
     Points are padded so each frame is a whole number of `gchunk`-group
     grid steps of `g_obs` lane-packed observations each."""
-    g_obs = packed_group_size(patch_radius)
+    g_obs = packed_group_size(patch_radius, win_px)
     gchunk = min(gchunk, max(1, -(-n // g_obs)))
     gpf = gchunk * (-(-n // (g_obs * gchunk)))             # groups per frame
     return g_obs, gchunk, gpf, gpf * g_obs
@@ -560,6 +603,361 @@ def _warp_patches_packed(panels, uv, valid, patch_radius: int,
     out = jnp.moveaxis(out, (4, 2, 1, 0), (0, 1, 2, 3))  # (G, GPF, W, C, ..)
     out = out.reshape(n_pad, w, c, ps, ps, 3)[:n]
     return out
+
+
+def _gather_kernel_scaled(y_ref, pan_ref, off_ref, img_ref, out_ref, *,
+                          gchunk: int, g_obs: int, win_px: int):
+    """Raw gather for WARPED patch grids (cfg.patchWarp='scale'): per
+    observation one (win_px, 128) row load -> one lane roll -> masked
+    pack at lane segment 3*win_px*j. No bilinear combine — with a
+    per-observation scale rho the ps patch columns each carry their own
+    integer offset and subpixel phase, so the separable resample runs as
+    two dense one-hot contractions in XLA downstream (warp_patches_scaled)
+    where it is memory-speed; the kernel keeps only the data-dependent
+    window gather XLA cannot tile."""
+    wl = 3 * win_px
+    lane = jax.lax.broadcasted_iota(jnp.int32, (win_px, PANEL_W), 1)
+    masks = [(lane >= wl * j) & (lane < wl * (j + 1)) for j in range(g_obs)]
+
+    def one(g):
+        parts = []
+        for j in range(g_obs):
+            i = g * g_obs + j
+            y0 = y_ref[0, 0, i]
+            p = pan_ref[0, 0, i]
+            o = off_ref[0, 0, i]
+            rows = img_ref[0, 0, p, pl.ds(y0, win_px), :]   # (win_px, 128)
+            wnd = pltpu.roll(rows, wl * j - o, 1)           # phase-preserving
+            parts.append(jnp.where(masks[j], wnd, 0.0) if g_obs > 1 else wnd)
+        while len(parts) > 1:
+            parts = [a + b for a, b in zip(parts[::2], parts[1::2])] + (
+                [parts[-1]] if len(parts) % 2 else [])
+        out_ref[0, g] = parts[0]
+
+    for g in range(gchunk):
+        one(g)
+
+
+def warp_patches_scaled(panels, uv, rho, valid, patch_radius: int,
+                        interpret: bool = False, gchunk: int = 32):
+    """Bilinear-sample (value, d/dx, d/dy) patches on a PER-OBSERVATION
+    isotropically scaled grid: sample k of the patch row/column grid lands
+    at uv + rho * (k - R) (cfg.patchWarp='scale'; the XLA reference is
+    core/residuals._sample_patches with a 1-D `scale`).
+
+    Args:
+      panels: (W, C, NPANEL, H, 128) from
+        build_interleaved_panels(..., win_px=scaled_win_px(R)) — the WIDE
+        layout; fixed-grid panels have the wrong stride.
+      uv: (N, W, 2); rho: (N, W) clamped to [PATCH_SCALE_MIN, MAX];
+      valid: (N, W) (invalid coords clamped, mask downstream).
+
+    Returns (s, gx, gy), each (N, W, C, P), patch pixels y-major like
+    image/patches.patch_offsets. Two stages: the Pallas gather packs
+    G = 128 // (3*win_px) raw integer-aligned (win_px x win_px) windows
+    per 128-lane group (~4 ops/observation); XLA then contracts each
+    window with per-observation one-hot bilinear row/column weight
+    matrices on dense tiles. Values match the XLA gather path to float32
+    reassociation (the 4-tap sum is evaluated y-major here).
+
+    This is an accuracy-mode path (production patchWarp runs are
+    4-16k-point golden windows); at 65k+ points the raw-window writeback
+    (~2 KB/obs physical) makes the fixed-grid fused-stats kernel the
+    right default — documented, not silently capped."""
+    n, w, _ = uv.shape
+    c = panels.shape[1]
+    n_pan = panels.shape[2]
+    h = panels.shape[3]
+    ps = 2 * patch_radius + 1
+    win = scaled_win_px(patch_radius)
+    wl = 3 * win
+    stride = lane_stride(patch_radius, win)
+    g_obs, gchunk, gpf, n_pad = packed_geometry(n, patch_radius, gchunk, win)
+    steps_per_frame = gpf // gchunk
+    n_steps = w * steps_per_frame
+
+    safe_c = float(PATCH_SCALE_MAX * patch_radius + 2)
+    x = jnp.where(valid, uv[..., 0], safe_c)
+    y = jnp.where(valid, uv[..., 1], safe_c)
+    r = jnp.where(valid,
+                  jnp.clip(rho, PATCH_SCALE_MIN, PATCH_SCALE_MAX), 1.0)
+    pad = ((0, n_pad - n), (0, 0))
+    x = jnp.pad(x, pad, constant_values=safe_c)
+    y = jnp.pad(y, pad, constant_values=safe_c)
+    r = jnp.pad(r, pad, constant_values=1.0)
+
+    x0 = jnp.floor(x - r * patch_radius).astype(jnp.int32)
+    y0 = jnp.floor(y - r * patch_radius).astype(jnp.int32)
+    max_lane0 = (n_pan - 1) * stride + PANEL_W - wl
+    lane0 = jnp.clip(3 * x0, 0, max_lane0)
+    y0 = jnp.clip(y0, 0, h - win)
+    pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
+    off = (lane0 - pan * stride).astype(jnp.int32)
+    x_start = (lane0 // 3).astype(x.dtype)     # true window-start pixel
+    y_start = y0.astype(y.dtype)
+
+    def groups(a):  # (N_pad, W) -> (W, GPF, G): [w, g, j] = point j*GPF+g
+        return jnp.moveaxis(a, 0, 1).reshape(w, g_obs, gpf).swapaxes(1, 2)
+
+    def fm(a):  # (N_pad, W) -> frame-major (n_steps, 1, gchunk * G)
+        return groups(a).reshape(n_steps, 1, gchunk * g_obs)
+
+    smem_vec = lambda: pl.BlockSpec(
+        (1, 1, gchunk * g_obs), lambda ci, s: (s, 0, 0),
+        memory_space=pltpu.SMEM)
+    kern = functools.partial(_gather_kernel_scaled, gchunk=gchunk,
+                             g_obs=g_obs, win_px=win)
+    raw = pl.pallas_call(
+        kern,
+        grid=(c, n_steps),  # channel-major so panel blocks are reused
+        in_specs=[
+            smem_vec(),  # y0
+            smem_vec(),  # panel
+            smem_vec(),  # lane offset
+            pl.BlockSpec((1, 1, n_pan, h, PANEL_W),
+                         lambda ci, s: (s // steps_per_frame, ci, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, gchunk, win, PANEL_W),
+                               lambda ci, s: (ci, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, w * gpf, win, PANEL_W),
+                                       jnp.float32),
+        interpret=interpret,
+    )(fm(y0), fm(pan), fm(off), panels.astype(jnp.float32))
+
+    # Lane wl*j + 3*m + p of group g is plane p (0=value, 1=d/dx, 2=d/dy)
+    # at window pixel m of observation j*GPF + g.
+    raw6 = raw.reshape(c, w, gpf, win, PANEL_W)[..., :g_obs * wl]
+    raw6 = raw6.reshape(c, w, gpf, win, g_obs, win, 3)
+
+    # Per-observation separable bilinear weights over the raw window:
+    # sample k (row OR column) sits at uv + r*(k - R), i.e. window-relative
+    # position fm in [0, win-1); one-hot floor tap (1-f) + next tap (f).
+    ks = jnp.arange(ps, dtype=x.dtype) - patch_radius       # (ps,)
+    fmx = x[..., None] + r[..., None] * ks - x_start[..., None]
+    fmy = y[..., None] + r[..., None] * ks - y_start[..., None]
+    mx = jnp.clip(jnp.floor(fmx).astype(jnp.int32), 0, win - 2)
+    my = jnp.clip(jnp.floor(fmy).astype(jnp.int32), 0, win - 2)
+    fx = jnp.clip(fmx - mx, 0.0, 1.0)   # clamped windows distort; caller
+    fy = jnp.clip(fmy - my, 0.0, 1.0)   # masks border observations
+    # One-hot taps as dense iota comparisons (an eye[idx] gather would put
+    # the data-dependent indexing XLA is worst at right back on the path
+    # the kernel exists to remove).
+    iw = jnp.arange(win, dtype=jnp.int32)
+    wx = (jnp.where(mx[..., None] == iw, 1.0 - fx[..., None], 0.0)
+          + jnp.where(mx[..., None] + 1 == iw, fx[..., None], 0.0))
+    wy = (jnp.where(my[..., None] == iw, 1.0 - fy[..., None], 0.0)
+          + jnp.where(my[..., None] + 1 == iw, fy[..., None], 0.0))
+
+    def wgt(a):  # (N_pad, W, ps, win) -> (G, GPF, W, ps, win)
+        return a.reshape(g_obs, gpf, w, ps, win)
+
+    t1 = jnp.einsum("cwgrjmp,jgwyr->cwgjymp", raw6, wgt(wy))
+    out = jnp.einsum("cwgjymp,jgwxm->cwgjyxp", t1, wgt(wx))
+    out = jnp.moveaxis(out, (3, 2, 1, 0), (0, 1, 2, 3))  # (G, GPF, W, C, ..)
+    out = out.reshape(n_pad, w, c, ps * ps, 3)[:n]
+    return out[..., 0], out[..., 1], out[..., 2]
+
+
+def _warp_kernel_scaled_packed(ytap_ref, pan_ref, rx_ref, fy_ref, fxl_ref,
+                               img_ref, dpk_ref, out_ref, *, gchunk: int,
+                               patch_radius: int, g_obs: int, sub_d: bool,
+                               center: bool, fuse_stats: bool):
+    """Fused WARPED-grid packed kernel (cfg.patchWarp='scale'), round 5.
+
+    Same output contract as _warp_kernel_packed (G = 128 // (3*(ps+1))
+    observations per group at 3*(ps+1)-lane segments, optional in-kernel
+    descriptor subtraction / centering / fused GN statistics) — but each
+    observation's patch grid is scaled by its own rho, so neither the
+    unit row spacing nor the shared subpixel phase of the fixed kernel
+    hold. Schedule per observation:
+
+      y-phase: ps two-row loads at per-(obs, patch-row) absolute rows
+        (img rows floor(v + rho*(yr-R))), blended with the per-row phase
+        fy — no dynamic sublane ops, the row gather IS the load;
+      x-phase: per (obs, column) one dynamic lane roll placing the
+        column's floor pixel at its output lane (roll amount precomputed
+        XLA-side: wl*j + 3k - o - 3*mx), plus the rx-3 roll for the
+        +1-pixel tap; masked into shared floor/next accumulators;
+      combine: one (1-fx)*F + fx*N with fx as a precomputed lane vector.
+
+    ~37 VPU ops/observation vs the fixed kernel's ~5 — the honest cost of
+    a per-observation warp; still ~10x the XLA gather path (the
+    alternative dense formulation pays 68x tile padding on (.., win, 3)
+    intermediates — measured 3.3 ms vs 0.43 at 4096x5)."""
+    ps = 2 * patch_radius + 1
+    wl = 3 * (ps + 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ps, PANEL_W), 1)
+    col_masks = [[(lane >= wl * j + 3 * k) & (lane < wl * j + 3 * k + 3)
+                  for k in range(ps)] for j in range(g_obs)]
+    if center:
+        mseg = _make_mseg(wl, ps)
+        inv_p = 1.0 / float(ps * ps)
+
+    def one(g):
+        parts_f = []
+        parts_n = []
+        for j in range(g_obs):
+            i = g * g_obs + j
+            p = pan_ref[0, 0, i]
+            rows = []
+            for yr in range(ps):
+                yt = ytap_ref[0, 0, i * ps + yr]
+                fy = fy_ref[0, 0, i * ps + yr]
+                r2 = img_ref[0, 0, p, pl.ds(yt, 2), :]      # (2, 128)
+                rows.append(r2[0:1] * (1.0 - fy) + r2[1:2] * fy)
+            accj = jnp.concatenate(rows, axis=0)            # (ps, 128)
+            for k in range(ps):
+                rx = rx_ref[0, 0, i * ps + k]
+                parts_f.append(jnp.where(col_masks[j][k],
+                                         pltpu.roll(accj, rx, 1), 0.0))
+                parts_n.append(jnp.where(col_masks[j][k],
+                                         pltpu.roll(accj, rx - 3, 1), 0.0))
+
+        def tree(parts):
+            while len(parts) > 1:
+                parts = [a + b for a, b in zip(parts[::2], parts[1::2])] + (
+                    [parts[-1]] if len(parts) % 2 else [])
+            return parts[0]
+
+        acc_f = tree(parts_f)
+        acc_n = tree(parts_n)
+        fx = jnp.broadcast_to(fxl_ref[0, g, 0:1, :], (ps, PANEL_W))
+        s3 = (1.0 - fx) * acc_f + fx * acc_n               # (ps, 128)
+        _packed_epilogue(s3, g, dpk_ref, out_ref,
+                         mseg if center else None,
+                         inv_p if center else 0.0, sub_d=sub_d,
+                         center=center, fuse_stats=fuse_stats)
+
+    # Fully unrolled like the fixed packed kernel (static indices let
+    # Mosaic software-pipeline the group sequence).
+    for g in range(gchunk):
+        one(g)
+
+
+def warp_patches_grouped_scaled(panels, uv, rho, valid, patch_radius: int,
+                                interpret: bool = False, gchunk: int = 32,
+                                dpack=None, center: bool = False,
+                                fuse_stats: bool = False):
+    """Run the fused warped-grid kernel; same output contract as
+    warp_patches_grouped ((C, W, GPF, rows, 128) packed layout, consumed
+    by core/residuals._grouped_stats with NO unpack) but sampling on the
+    per-observation scaled grid uv + rho * (k - R).
+
+    panels must be the WIDE layout (build_interleaved_panels with
+    win_px=scaled_win_px(R)): a rho<=2 window spans 3*scaled_win_px lanes,
+    so the wide stride guarantees it fits one panel at an interleave-
+    preserving offset. Output segments stay at the FIXED 3*(ps+1)-lane
+    stride, so descriptor packs, segment masks and the grouped-stats
+    contraction are shared with the fixed-grid path verbatim."""
+    n, w, _ = uv.shape
+    c = panels.shape[1]
+    n_pan = panels.shape[2]
+    h = panels.shape[3]
+    ps = 2 * patch_radius + 1
+    win_w = scaled_win_px(patch_radius)
+    stride = lane_stride(patch_radius, win_w)
+    g_obs, gchunk, gpf, n_pad = packed_geometry(n, patch_radius, gchunk)
+    steps_per_frame = gpf // gchunk
+    n_steps = w * steps_per_frame
+    wl = 3 * (ps + 1)
+
+    safe_c = float(PATCH_SCALE_MAX * patch_radius + 2)
+    x = jnp.where(valid, uv[..., 0], safe_c)
+    y = jnp.where(valid, uv[..., 1], safe_c)
+    r = jnp.where(valid,
+                  jnp.clip(rho, PATCH_SCALE_MIN, PATCH_SCALE_MAX), 1.0)
+    pad = ((0, n_pad - n), (0, 0))
+    x = jnp.pad(x, pad, constant_values=safe_c)
+    y = jnp.pad(y, pad, constant_values=safe_c)
+    r = jnp.pad(r, pad, constant_values=1.0)
+
+    x0 = jnp.floor(x - r * patch_radius).astype(jnp.int32)
+    max_lane0 = (n_pan - 1) * stride + PANEL_W - 3 * win_w
+    lane0 = jnp.clip(3 * x0, 0, max_lane0)
+    pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
+    o = lane0 - pan * stride                               # window lane
+
+    ks = jnp.arange(ps, dtype=x.dtype) - patch_radius      # (ps,)
+    ys = y[..., None] + r[..., None] * ks                  # (N_pad, W, ps)
+    ytap = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
+    fy = jnp.clip(ys - ytap, 0.0, 1.0)
+    xs = x[..., None] + r[..., None] * ks
+    x_start = (lane0 // 3)[..., None]                      # window pixel
+    mx = jnp.clip(jnp.floor(xs).astype(jnp.int32) - x_start, 0, win_w - 2)
+    fx = jnp.clip(xs - (x_start + mx), 0.0, 1.0)
+    # Per-(obs, column) roll: output lane wl*j + 3k <- window lane
+    # o + 3*mx. The lane slot j of padded point n is n // GPF.
+    jn = (jnp.arange(n_pad, dtype=jnp.int32) // gpf)[:, None, None]
+    rx = (wl * jn + 3 * jnp.arange(ps, dtype=jnp.int32)
+          - o[..., None] - 3 * mx)
+
+    def fm(a):  # (N_pad, W) -> frame-major (n_steps, 1, gchunk * G)
+        b = jnp.moveaxis(a, 0, 1).reshape(w, g_obs, gpf).swapaxes(1, 2)
+        return b.reshape(n_steps, 1, gchunk * g_obs)
+
+    def fm3(a):  # (N_pad, W, ps) -> (n_steps, 1, gchunk * G * ps)
+        b = jnp.moveaxis(a, 0, 1).reshape(w, g_obs, gpf, ps)
+        return b.transpose(0, 2, 1, 3).reshape(n_steps, 1,
+                                               gchunk * g_obs * ps)
+
+    def lanes3(a):  # (N_pad, W, ps) -> per-group lane vectors (groups, 128)
+        b = jnp.moveaxis(a, 0, 1).reshape(w, g_obs, gpf, ps)
+        b = b.transpose(0, 2, 1, 3).reshape(w * gpf, g_obs, ps)
+        lv = jnp.repeat(b, 3, axis=2)                      # (groups, G, 3ps)
+        lv = jnp.pad(lv, ((0, 0), (0, 0), (0, wl - 3 * ps)))
+        lv = lv.reshape(w * gpf, g_obs * wl)
+        return jnp.pad(lv, ((0, 0), (0, PANEL_W - g_obs * wl)))
+
+    fxl = lanes3(fx).reshape(n_steps, gchunk, 1, PANEL_W)
+
+    smem_i = lambda m: pl.BlockSpec(
+        (1, 1, gchunk * g_obs * m), lambda ci, s: (s, 0, 0),
+        memory_space=pltpu.SMEM)
+    in_specs = [
+        smem_i(ps),   # ytap
+        smem_i(1),    # panel
+        smem_i(ps),   # rx
+        smem_i(ps),   # fy
+        pl.BlockSpec((1, gchunk, 1, PANEL_W), lambda ci, s: (s, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pan, h, PANEL_W),
+                     lambda ci, s: (s // steps_per_frame, ci, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [fm3(ytap), fm(pan), fm3(rx), fm3(fy), fxl,
+              panels.astype(jnp.float32)]
+    if dpack is not None:
+        in_specs.append(
+            pl.BlockSpec((1, gchunk, ps, PANEL_W),
+                         lambda ci, s: (ci, s % steps_per_frame, 0, 0),
+                         memory_space=pltpu.VMEM))
+        inputs.append(dpack.astype(jnp.float32))
+        kern = functools.partial(_warp_kernel_scaled_packed, gchunk=gchunk,
+                                 patch_radius=patch_radius, g_obs=g_obs,
+                                 sub_d=True, center=center,
+                                 fuse_stats=fuse_stats)
+    else:
+        base = functools.partial(_warp_kernel_scaled_packed, gchunk=gchunk,
+                                 patch_radius=patch_radius, g_obs=g_obs,
+                                 sub_d=False, center=center,
+                                 fuse_stats=fuse_stats)
+        kern = lambda yt, p, rxr, fyr, fxr, i, out: base(yt, p, rxr, fyr,
+                                                         fxr, i, None, out)
+    rows_out = 6 if fuse_stats else ps
+    out = pl.pallas_call(
+        kern,
+        grid=(c, n_steps),  # channel-major so panel blocks are reused
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, gchunk, rows_out, PANEL_W),
+                               lambda ci, s: (ci, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, w * gpf, rows_out, PANEL_W),
+                                       jnp.float32),
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(c, w, gpf, rows_out, PANEL_W), n_pad
 
 
 def _warp_kernel_block(y_ref, pan_ref, off_ref, fxfy_ref, img_ref, out_ref, *,

@@ -67,21 +67,29 @@ def test_pbaconfig_validation():
     assert PBAConfig(normalizePatches=False).resolve_normalization() == "off"
     assert (PBAConfig(normalizePatches=False, patchNormalization="affine")
             .resolve_normalization() == "off")
-    # patchWarp is XLA-path-only: forcing the pallas backend must fail at
-    # config load, and 'auto' must resolve to xla (advisor round 3).
+    # patchWarp='scale' (bilinear/sampled) runs on the Pallas scaled
+    # gather kernel (round 5); 'affine' — a full 2-D warp — is XLA-only,
+    # and forcing pallas on it must fail at config load.
+    PBAConfig(patchWarp="scale", solverBackend="pallas").validate()
     with pytest.raises(ValueError):
-        PBAConfig(patchWarp="scale", solverBackend="pallas").validate()
+        PBAConfig(patchWarp="affine", solverBackend="pallas").validate()
+    with pytest.raises(ValueError):
+        PBAConfig(patchWarp="scale", solverBackend="pallas",
+                  interpolation="bicubic").validate()
     with pytest.raises(ValueError):
         PBAConfig(patchWarp="bogus").validate()
     for mode in ("scale", "affine"):
         PBAConfig(patchWarp=mode).validate()
-        assert PBAConfig(patchWarp=mode).resolve_backend() == "xla"
         assert PBAConfig(patchWarp=mode).resolve_patch_warp() == mode
+    assert PBAConfig(patchWarp="affine").resolve_backend() == "xla"
+    # (on CPU hosts 'auto' resolves to xla for 'scale' too; the pallas
+    # routing branch is exercised on TPU.)
     # patchScale is the deprecated spelling of patchWarp='scale'.
+    PBAConfig(patchScale=True, solverBackend="pallas").validate()
     with pytest.raises(ValueError):
-        PBAConfig(patchScale=True, solverBackend="pallas").validate()
+        PBAConfig(patchScale=True, solverBackend="pallas",
+                  gradientMode="exact").validate()
     PBAConfig(patchScale=True).validate()
-    assert PBAConfig(patchScale=True).resolve_backend() == "xla"
     assert PBAConfig(patchScale=True).resolve_patch_warp() == "scale"
     assert PBAConfig().resolve_patch_warp() is None
 

@@ -253,3 +253,88 @@ def test_sorted_dispatch_order_invariants():
     ranks = (np.arange(n_pad) % gpf) * g + np.arange(n_pad) // gpf
     keys_by_rank = np.asarray(key)[feed[np.argsort(ranks)][:n]]
     assert np.all(np.diff(keys_by_rank) >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Warped-grid (patchWarp='scale') fused kernel — round 5
+# ---------------------------------------------------------------------------
+
+def _scaled_setup(rng, n_pts=14, w=3):
+    from photobundle_tpu.ops import patch_warp as pw
+
+    cam, t_wc, x, patch, ch, g, obs, off = setup_problem(rng, n_pts=n_pts,
+                                                         w=w)
+    ref_slot = jnp.zeros((n_pts,), jnp.int32)
+    z_ref, r_wc = res_mod.patch_warp_ref_geometry(t_wc, x, ref_slot)
+    # Spread rho across the clamp range by perturbing the reference depth.
+    z_ref = z_ref * jnp.asarray(
+        rng.uniform(0.45, 2.3, size=n_pts).astype(np.float32))
+    pwt = ("scale", z_ref, r_wc)
+    return cam, t_wc, x, patch, ch, g, obs, off, pwt
+
+
+def test_scaled_grouped_matches_scaled_einsum(rng, monkeypatch):
+    """The fused warped-grid kernel (warp_patches_grouped_scaled +
+    in-kernel stats) vs the einsum-resample oracle (warp_patches_scaled +
+    dense stats): same samples, same statistics, different schedule —
+    float32-reassociation tolerance."""
+    cam, t_wc, x, patch, ch, g, obs, off, pwt = _scaled_setup(rng)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled", backend="pallas",
+              interpret=True, patch_warp=pwt)
+    fused = res_mod.evaluate_compressed(cam, t_wc, x, patch, ch, g, obs,
+                                        off, **kw)
+    monkeypatch.setenv("PB_GROUPED_STATS", "0")   # einsum-resample oracle
+    oracle = res_mod.evaluate_compressed(cam, t_wc, x, patch, ch, g, obs,
+                                         off, **kw)
+    assert bool(jnp.all(fused.valid == oracle.valid))
+    np.testing.assert_allclose(float(fused.cost), float(oracle.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.gtg),
+                               np.asarray(oracle.gtg), atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused.gtr),
+                               np.asarray(oracle.gtr), atol=1e-3, rtol=1e-4)
+
+
+def test_scaled_grouped_padding_isolation(rng):
+    """Real-point warped statistics are unaffected by group padding."""
+    cam, t_wc, x, patch, ch, g, obs, off, pwt = _scaled_setup(rng, n_pts=9)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled", backend="pallas",
+              interpret=True)
+    base = res_mod.evaluate_compressed(cam, t_wc, x, patch, ch, g, obs, off,
+                                       patch_warp=pwt, **kw)
+    x2 = jnp.concatenate([x, x[:4] + 50.0])
+    patch2 = jnp.concatenate([patch, patch[:4]])
+    obs2 = jnp.concatenate([obs, jnp.zeros((4, 3), bool)])
+    pwt2 = ("scale", jnp.concatenate([pwt[1], pwt[1][:4]]),
+            jnp.concatenate([pwt[2], pwt[2][:4]]))
+    ext = res_mod.evaluate_compressed(cam, t_wc, x2, patch2, ch, g, obs2,
+                                      off, patch_warp=pwt2, **kw)
+    np.testing.assert_allclose(float(ext.cost), float(base.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ext.gtg[..., :9]),
+                               np.asarray(base.gtg), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ext.gtr[..., :9]),
+                               np.asarray(base.gtr), atol=1e-6)
+
+
+def test_scaled_affine_norm_falls_back_to_einsum_path(rng):
+    """patchWarp + affine (ZNCC) normalization: the fused kernel's
+    in-kernel stats only cover mean/off; the einsum path must carry the
+    affine case, matching the XLA gather path."""
+    cam, t_wc, x, patch, ch, g, obs, off, pwt = _scaled_setup(rng)
+    from photobundle_tpu.image import patches as patches_mod
+
+    patch_n = patches_mod.affine_normalize(patch)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled",
+              normalize="affine", patch_warp=pwt)
+    ref = res_mod.evaluate_compressed(cam, t_wc, x, patch_n, ch, g, obs,
+                                      off, backend="xla", **kw)
+    out = res_mod.evaluate_compressed(cam, t_wc, x, patch_n, ch, g, obs,
+                                      off, backend="pallas", interpret=True,
+                                      **kw)
+    v = (np.asarray(out.valid) & np.asarray(ref.valid)).T.astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out.gtg) * v[:, None, None, :],
+                               np.asarray(ref.gtg) * v[:, None, None, :],
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.gtr) * v[:, None, :],
+                               np.asarray(ref.gtr) * v[:, None, :],
+                               atol=1e-3, rtol=1e-4)

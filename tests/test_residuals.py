@@ -596,16 +596,74 @@ def test_patch_warp_affine_rotation_math():
     np.testing.assert_allclose(m0, np.eye(2), atol=1e-6)
 
 
-def test_patch_warp_pallas_backend_rejected(rng):
-    """The warp kernels share one subpixel phase per observation; a warped
-    grid needs per-column phases. evaluate_compressed must refuse rather
-    than silently ignore the warp."""
+def test_patch_warp_affine_pallas_backend_rejected(rng):
+    """'affine' warps each patch row in both axes — a full 2-D gather the
+    window kernels cannot tile. evaluate_compressed must refuse rather
+    than silently ignore the warp ('scale' runs on the scaled gather
+    kernel — see test_patch_warp_scale_pallas_matches_xla)."""
     cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(rng, n_pts=5)
     with pytest.raises(ValueError, match="patchWarp"):
         res_mod.evaluate_compressed(
             cam, t, x, patch, ch, g, obs, off, huber_delta=0.07,
             backend="pallas", interpret=True,
-            patch_warp=_warp_tuple("scale", t, x, rs))
+            patch_warp=_warp_tuple("affine", t, x, rs))
+
+
+@pytest.mark.parametrize("dz", [1.0, -2.0, 0.6])
+def test_patch_warp_scale_pallas_matches_xla(rng, dz):
+    """The scaled gather kernel (ops/patch_warp.warp_patches_scaled +
+    one-hot resample) must reproduce the XLA gather path's warped
+    statistics: same rho model, same bilinear taps, float32-reassociation
+    tolerance. dz spans rho = 2.0 (clamp boundary), 0.5, and an
+    interior non-exact ratio. Validity: the pallas path's analytic margin
+    is strictly tighter than the XLA per-tap mask, so compare the
+    statistics on the pallas-valid set."""
+    cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(
+        rng, dz=dz, n_pts=12, frame1_only=False)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled")
+    pw = _warp_tuple("scale", t, x, rs)
+    ref = res_mod.evaluate_compressed(cam, t, x, patch, ch, g, obs, off,
+                                      backend="xla", patch_warp=pw, **kw)
+    out = res_mod.evaluate_compressed(cam, t, x, patch, ch, g, obs, off,
+                                      backend="pallas", interpret=True,
+                                      patch_warp=pw, **kw)
+    v_out = np.asarray(out.valid)                         # (N, W)
+    v_ref = np.asarray(ref.valid)
+    assert not np.any(v_out & ~v_ref), "pallas valid must be a subset"
+    assert v_out.sum() >= 0.7 * v_ref.sum()               # margins are tight
+    m = v_out.T.astype(np.float32)                        # (W, N)
+    np.testing.assert_allclose(np.asarray(out.gtg),
+                               np.asarray(ref.gtg) * m[:, None, None, :],
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.gtr),
+                               np.asarray(ref.gtr) * m[:, None, :],
+                               atol=1e-3, rtol=1e-4)
+    if (v_out == v_ref).all():
+        np.testing.assert_allclose(float(out.cost), float(ref.cost),
+                                   rtol=1e-5)
+
+
+def test_patch_warp_scale_pallas_identity_matches_fixed(rng):
+    """rho == 1 everywhere (dz = 0): the scaled gather path must agree
+    with the FIXED-grid pallas kernel's statistics (different kernels,
+    same samples) on the common-valid set."""
+    cam, t, x, patch, ch, g, obs, off, rs = _warp_problem(
+        rng, dz=0.0, frame1_only=False)
+    kw = dict(huber_delta=0.07, gradient_mode="sampled")
+    fixed = res_mod.evaluate_compressed(cam, t, x, patch, ch, g, obs, off,
+                                        backend="pallas", interpret=True,
+                                        **kw)
+    warped = res_mod.evaluate_compressed(
+        cam, t, x, patch, ch, g, obs, off, backend="pallas", interpret=True,
+        patch_warp=_warp_tuple("scale", t, x, rs), **kw)
+    v = (np.asarray(fixed.valid) & np.asarray(warped.valid)).T  # (W, N)
+    m = v.astype(np.float32)
+    np.testing.assert_allclose(np.asarray(warped.gtg) * m[:, None, None, :],
+                               np.asarray(fixed.gtg) * m[:, None, None, :],
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(warped.gtr) * m[:, None, :],
+                               np.asarray(fixed.gtr) * m[:, None, :],
+                               atol=1e-3, rtol=1e-4)
 
 
 @pytest.mark.parametrize("mode", ["scale", "affine"])
