@@ -324,3 +324,36 @@ def test_engine_mesh_frames_coarse_to_fine_matches_single_device(scene_mod):
     assert len(results[(1, 1)]) == len(results[(2, 4)]) > 0
     for pa, pb in zip(results[(1, 1)], results[(2, 4)]):
         np.testing.assert_allclose(pa, pb, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_engine_mesh_points_patchwarp_matches_single_device(scene_mod):
+    """cfg.patchWarp='scale' under the points mesh: the warp's reference
+    geometry is computed from the FULL replicated poses inside lm_solve
+    (the ref frame may live on any shard), so the sharded trajectory must
+    match the single-device engine like the fixed-grid case does."""
+    import numpy as np
+    from photobundle_tpu.core.engine import PhotometricBundleAdjustment
+    from test_engine import small_cfg
+
+    cam, images, depths, poses_gt = scene_mod
+    rng = np.random.default_rng(5)
+    init = perturb_poses(rng, poses_gt, trans_sigma=0.02, rot_sigma=0.002,
+                         keep_first=2)
+
+    results = {}
+    for mesh_pts in (1, 4):
+        cfg = small_cfg(maxNumPoints=256, maxPointsPerFrame=64,
+                        maxIterations=10, meshPoints=mesh_pts,
+                        motionPriorWeight=2.0, posePriorWeight=4.0,
+                        patchWarp="scale")
+        pba = PhotometricBundleAdjustment(cam, images[0].shape, cfg)
+        poses = []
+        for i, (img, depth) in enumerate(zip(images, depths)):
+            r = pba.add_frame(img, depth, init[i])
+            if r is not None:
+                poses.append(r.poses.copy())
+        results[mesh_pts] = poses
+    assert len(results[1]) == len(results[4]) > 0
+    for pa, pb in zip(results[1], results[4]):
+        np.testing.assert_allclose(pa, pb, atol=5e-5)

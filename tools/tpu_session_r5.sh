@@ -52,6 +52,8 @@ if [ "$phase" = "all" ] || [ "$phase" = "bench" ]; then
     # Kernel-level numbers (warp kernel in isolation; sampling modes).
     run r5_warp_kernel      python tools/bench_warp_kernel.py
     run r5_sampling         python tools/bench_sampling.py
+    # patchWarp backend cost (round-5 fused scaled kernel vs fixed vs XLA).
+    run r5_patchwarp_backend python tools/bench_patchwarp.py
     # Packed-kernel ablation (loads vs combine vs stats at 65k).
     run r5_ablate           python tools/ablate_packed_kernel.py
     # Multi-host harness wiring check (local CPU stand-in devices).
