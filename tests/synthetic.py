@@ -221,7 +221,8 @@ def render_box(tex, cam: Camera, t_wc: np.ndarray, shape,
     return img, np.where(depth < max_depth, depth, 0.0).astype(np.float32)
 
 
-def make_render_box_jax(shape, obstacles=None, max_depth: float = 250.0):
+def make_render_box_jax(shape, obstacles=None, max_depth: float = 250.0,
+                        downsample: int = 1, quantize: bool = False):
     """Jitted (TPU-capable) twin of render_box for golden-dataset rendering.
 
     The numpy renderer materializes (H*W, K) float64 phase temporaries
@@ -234,6 +235,15 @@ def make_render_box_jax(shape, obstacles=None, max_depth: float = 250.0):
     wavelength is ~6e-4 rad -> intensity error ~1e-4, an order below the
     PNG 1/255 quantization floor. Returns render(tex, fx, fy, cx, cy,
     t_wc) -> (img, depth) as numpy arrays.
+
+    downsample/quantize ('jax2' dataset renderer): box-average the
+    supersampled image and quantize to uint8 ON DEVICE, and skip the
+    depth readback — on a tunneled chip the f32 img+depth transfer
+    dominated render wall-clock (~8x the bytes of the uint8 result).
+    The on-device mean can differ from the host numpy mean by 1 ulp, so
+    pixels may flip by 1/255 vs the 'jax' renderer: a DIFFERENT dataset
+    provenance, recorded as renderer='jax2' (golden tables are keyed by
+    it — never mix epochs in one table). quantize returns (img_u8, None).
     """
     import jax
     import jax.numpy as jnp_
@@ -282,6 +292,11 @@ def make_render_box_jax(shape, obstacles=None, max_depth: float = 250.0):
         x_world = o + t_best[..., None] * d_world
         phase = x_world @ freqs.T + phases
         img = 0.5 + 0.5 * jnp_.tanh(jnp_.sin(phase) @ amps)
+        if quantize:
+            s = int(downsample)
+            if s > 1:
+                img = img.reshape(h // s, s, w // s, s).mean(axis=(1, 3))
+            return jnp_.clip(img * 255.0, 0, 255).astype(jnp_.uint8), None
         depth = t_best * d_cam[..., 2]
         depth = jnp_.where(depth < max_depth, depth, 0.0)
         return img, depth
@@ -293,6 +308,8 @@ def make_render_box_jax(shape, obstacles=None, max_depth: float = 250.0):
                              jnp_.float32(cam.fx), jnp_.float32(cam.fy),
                              jnp_.float32(cam.cx), jnp_.float32(cam.cy),
                              jnp_.asarray(np.asarray(t_wc, np.float32)))
+        if quantize:
+            return np.asarray(img), None
         return np.asarray(img, np.float32), np.asarray(depth, np.float32)
 
     return render
@@ -385,8 +402,16 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
     s = int(supersample)
     cam_ss = cam.scaled(float(s)) if s > 1 else cam
     shape_ss = (shape[0] * s, shape[1] * s)
-    jax_render = (make_render_box_jax(shape_ss, obstacles=obstacles)
-                  if renderer == "jax" else None)
+    if renderer == "jax2":
+        # Device-side downsample + uint8 quantize, no depth readback —
+        # ~8x less tunnel transfer per frame. A distinct dataset
+        # provenance (on-device mean differs from the host mean by ulps).
+        jax_render = make_render_box_jax(shape_ss, obstacles=obstacles,
+                                         downsample=s, quantize=True)
+    elif renderer == "jax":
+        jax_render = make_render_box_jax(shape_ss, obstacles=obstacles)
+    else:
+        jax_render = None
 
     for i, p in enumerate(poses):
         # Per-frame renders are pure functions of (texture, pose) — the rng
@@ -398,6 +423,8 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
             continue
 
         def _render(pose):
+            if renderer == "jax2":
+                return jax_render(tex, cam_ss, pose)[0]   # uint8 already
             if jax_render is not None:
                 im, _ = jax_render(tex, cam_ss, pose)
             else:
@@ -405,14 +432,13 @@ def write_box_kitti_dataset(root, sequence, rng, n_frames=200,
                                    obstacles=obstacles)
             if s > 1:
                 im = im.reshape(shape[0], s, shape[1], s).mean(axis=(1, 3))
-            return im
+            return np.clip(im * 255, 0, 255).astype(np.uint8)
         img_l = _render(p)
         pr = p.copy()
         pr[:3, 3] = p[:3, 3] + p[:3, :3] @ np.array([baseline, 0, 0],
                                                     np.float32)
         img_r = _render(pr)
-        for sub, im in (("image_0", img_l), ("image_1", img_r)):
-            arr = np.clip(im * 255, 0, 255).astype(np.uint8)
+        for sub, arr in (("image_0", img_l), ("image_1", img_r)):
             Image.fromarray(arr).save(
                 os.path.join(seq_dir, sub, f"{i:06d}.png"))
 

@@ -32,6 +32,23 @@ run() {
 
 phase=${1:-all}
 
+# Tunnel preflight (round 5): a wedged chip claim makes the FIRST jax call
+# of a job hang silently until its 3600 s timeout — probe cheaply first and
+# retry while the stale grant expires (~90 s) instead of burning an hour.
+if [ "$phase" != "dryrun" ]; then
+    for attempt in 1 2 3; do
+        if timeout 120 python -c "import jax; jax.devices()" 2>/dev/null; then
+            break
+        fi
+        echo "tunnel probe $attempt hung; retrying in 90s..." >&2
+        sleep 90
+        if [ "$attempt" = 3 ]; then
+            echo "TPU tunnel unreachable — aborting session" >&2
+            exit 9
+        fi
+    done
+fi
+
 if [ "$phase" = "dryrun" ]; then
     for t in bench_lm_breakdown bench_scaling bench_warp_kernel \
              bench_sampling ablate_packed_kernel probe_eval65k; do
