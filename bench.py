@@ -22,8 +22,9 @@ N_PTS = 4096
 W = 5
 H, WI = 370, 1226
 PATCH_RADIUS = 2
-ITERS = 30
-CPU_ITERS = 5  # CPU pass is slow; measure fewer iterations and scale
+M_ITERS = 8     # iterations per chain link (fixed-length, fresh lambda)
+K_TPU = 32      # chain links per timed call (TPU)
+K_CPU = 2       # CPU pass is slow; shorter chain, same link length
 
 
 def build(platform_device):
@@ -37,45 +38,88 @@ def build(platform_device):
 
     backend = "pallas" if platform_device.platform not in ("cpu", "gpu") else "xla"
 
-    def solve(iters):
-        def fn(*a):
-            return lm.lm_solve(
-                cam, *a[:2], *a[2:6], a[6], a[7], offsets,
-                huber_delta=0.05, gradient_mode="sampled", backend=backend,
-                max_iterations=iters,
-                function_tolerance=0.0, parameter_tolerance=0.0,
-            )
-        return fn
+    def solve(x0, rest):
+        return lm.lm_solve(
+            cam, rest[0], x0, *rest[1:5], rest[5], rest[6], offsets,
+            huber_delta=0.05, gradient_mode="sampled", backend=backend,
+            max_iterations=M_ITERS,
+            function_tolerance=0.0, parameter_tolerance=0.0,
+        )
 
     args = jax.device_put(args, platform_device)
     return solve, args
 
 
-def time_solve(device, iters, repeats=5):
-    """MEDIAN of `repeats` timed runs (methodology pinned in round 2: the
-    round-1 min-of-3 TPU / single-run CPU mix made the reported speedup
-    swing 13-28x across documents; the median is the one canonical
-    number)."""
+def _measure_rtt(device) -> float:
+    """Per-call host->device->host round trip (dispatch + tunnel)."""
+    import jax
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jax.device_put(np.zeros(()), device)
+    _ = float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def time_solve(device, k, repeats=5):
+    """MEDIAN of `repeats` timed K-chained runs (round-2 + round-5
+    methodology).
+
+    Round 2 pinned the median (the round-1 min-of-3 TPU / single-run CPU
+    mix swung the reported speedup 13-28x across documents). Round 5
+    moved the body to K chained fixed-length 8-iteration solves inside
+    ONE jit (fresh lambda and a perturbed start per link) with the tunnel
+    RTT measured and subtracted: the old single 30-iteration solve spent
+    ~27 of its ~37 ms in ONE tunnel round-trip, so the published number
+    measured the tunnel, not the device (833 "it/s" vs the 3068 it/s
+    marginal rate — BASELINE.md scaling section). CPU and TPU run the
+    IDENTICAL chain, so vs_baseline compares device compute to device
+    compute. Refuses to emit a number when the chain fails to dwarf the
+    RTT (round-4 verdict: bench tools must not print non-physical
+    values)."""
     import statistics
 
     import jax
 
     solve, args = build(device)
-    fn = jax.jit(solve(iters))
-    out = fn(*args)           # compile + warmup
-    _ = float(out[2].final_cost)
+    t_wc, x_world, *rest_tail = args
+    rest = (t_wc, *rest_tail)
+
+    # Probe: the chain denominator assumes every link runs all M_ITERS
+    # (with tolerances zeroed only the ~97-iteration lambda-overflow exit
+    # can end a solve early; 8 fresh-lambda iterations never reach it).
+    n_probe = int(jax.jit(solve)(x_world, rest)[2].iterations)
+    assert n_probe == M_ITERS, f"probe ran {n_probe} != {M_ITERS} iters"
+
+    def chain(x0):
+        def body(i, acc):
+            _, _, s = solve(x0 + 1e-4 * i, rest)
+            return acc + s.final_cost
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    rtt = _measure_rtt(device)
+    fn = jax.jit(chain)
+    _ = float(fn(x_world))   # compile + warmup
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(x_world)
         # A host readback of the result is the only reliable completion
         # barrier on tunneled backends (block_until_ready can return before
         # remote execution finishes).
-        _ = float(out[2].final_cost)
+        _ = float(out)
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
-    n_done = int(out[2].iterations)
-    return n_done / med, n_done, med
+    n_done = k * M_ITERS
+    if med - rtt <= 0 or med < 3 * rtt:
+        raise RuntimeError(
+            f"non-physical: chain {med * 1e3:.1f} ms vs RTT "
+            f"{rtt * 1e3:.1f} ms — lengthen the chain")
+    return n_done / (med - rtt), n_done, med
 
 
 def _devices_with_watchdog(timeout_s=240.0):
@@ -143,7 +187,7 @@ def main():
 
         dev = jax.devices()[0]
         assert dev.platform == "cpu", f"cpu probe got {dev.platform}"
-        cpu_ips, _, _ = time_solve(dev, CPU_ITERS, repeats=3)
+        cpu_ips, _, _ = time_solve(dev, K_CPU, repeats=3)
         print(f"CPU_IPS {cpu_ips}")
         return
 
@@ -164,12 +208,12 @@ def main():
     import jax
 
     accel = devices[0]
-    tpu_ips, tpu_n, tpu_t = time_solve(accel, ITERS, repeats=5)
+    tpu_ips, tpu_n, tpu_t = time_solve(accel, K_TPU, repeats=5)
 
     vs_baseline = None
     try:
         cpu = jax.local_devices(backend="cpu")[0]
-        cpu_ips, _, _ = time_solve(cpu, CPU_ITERS, repeats=3)
+        cpu_ips, _, _ = time_solve(cpu, K_CPU, repeats=3)
         vs_baseline = tpu_ips / cpu_ips
     except Exception:  # no in-process CPU backend — probe in a subprocess
         cpu_ips = _cpu_probe_subprocess()

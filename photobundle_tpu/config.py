@@ -448,9 +448,12 @@ class PBAConfig:
         pw = self.resolve_patch_warp()
         if pw is not None:
             # 'scale' runs on the scaled gather kernel (round-5); 'affine'
-            # (full 2-D warp) is gather-path only.
+            # (full 2-D warp) is gather-path only. The scaled window
+            # (2*ceil(2*R)+2 px, 3 lanes/px) must fit one 128-lane panel
+            # with a positive stride: R <= 9.
             ok = (pw == "scale" and self.interpolation == "bilinear"
-                  and self.gradientMode == "sampled")
+                  and self.gradientMode == "sampled"
+                  and self.patchRadius <= 9)
             return "pallas" if (on_tpu and ok) else "xla"
         fast_path = ((self.interpolation == "bilinear"
                       and self.gradientMode == "sampled")
@@ -486,12 +489,13 @@ class PBAConfig:
         pw = self.resolve_patch_warp()
         if (pw is not None and self.solverBackend == "pallas"
                 and (pw != "scale" or self.interpolation != "bilinear"
-                     or self.gradientMode != "sampled")):
+                     or self.gradientMode != "sampled"
+                     or self.patchRadius > 9)):
             raise ValueError("only patchWarp='scale' with bilinear/sampled "
-                             "runs on the pallas backend; patchWarp="
-                             "'affine' (or other sampling modes) requires "
-                             "the XLA path — set solverBackend to auto "
-                             "or xla")
+                             "and patchRadius <= 9 runs on the pallas "
+                             "backend; patchWarp='affine' (or other "
+                             "sampling modes / wider patches) requires the "
+                             "XLA path — set solverBackend to auto or xla")
         if self.refinementLevel >= self.pyramidLevels:
             raise ValueError("refinementLevel must be < pyramidLevels")
         if self.meshFrames > 1:

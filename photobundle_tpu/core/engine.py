@@ -350,7 +350,12 @@ class PhotometricBundleAdjustment:
                 # per-level seed plumbing is needed (the round-4 frozen-seed
                 # variant measurably biased depth toward the stereo seed —
                 # see residuals.patch_warp_ref_geometry).
-                patch_warp=((warp_mode, ref_slot)
+                # ref_slot_s (the parameter, not the closed-over global):
+                # every ref-slot consumer inside one solve must see the
+                # same slot array (round-5 review — a future caller passing
+                # a shifted/filtered slot would otherwise get depth prior
+                # and patch warp referencing different frames).
+                patch_warp=((warp_mode, ref_slot_s)
                             if warp_mode is not None else None),
                 motion_prior_weight=cfg.motionPriorWeight,
                 motion_prior_anchor=anchor,

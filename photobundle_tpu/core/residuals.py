@@ -167,9 +167,10 @@ def _observation_geometry(cam, t_wc_f, x_world):
     return y, uv, in_front, jnp.concatenate([a_pose, a_point], axis=-1)  # A: (N, 2, 9)
 
 
-# Single definition in ops/patch_warp: the scaled gather kernel sizes its
-# load window from the same clamp the warp model applies.
-from ..ops.patch_warp import PATCH_SCALE_MIN, PATCH_SCALE_MAX  # noqa: E402
+# Shared with ops/patch_warp (the scaled gather kernel sizes its load
+# window from the same clamp the warp model applies) via the dependency-
+# free constants module — ops/patch_warp stays a lazy pallas-path import.
+from ..constants import PATCH_SCALE_MIN, PATCH_SCALE_MAX  # noqa: E402
 
 
 def patch_warp_ref_geometry(t_wc, x_world, ref_slot):
@@ -254,7 +255,13 @@ def patch_warp_frame(mode: str, cam, t_wc_f, y, z_ref, r_wc_ref):
     m = m * (jnp.clip(s, PATCH_SCALE_MIN, PATCH_SCALE_MAX)
              / s)[:, None, None]
     eye = jnp.broadcast_to(jnp.eye(2, dtype=m.dtype), m.shape)
-    return jnp.where((z_ref > 0)[:, None, None], m, eye)
+    # Near-singular M (patch viewed edge-on): the clip/s renormalization
+    # would AMPLIFY the junk directions by up to clip_min/s — unbounded as
+    # det -> 0 (round-5 review). Far below the clamp floor the planar
+    # model carries no usable direction; fall back to the reference's
+    # fixed grid (identity) instead.
+    ok = ((z_ref > 0) & (s > 0.1 * PATCH_SCALE_MIN))[:, None, None]
+    return jnp.where(ok, m, eye)
 
 
 def _sample_patches(channels_f, grads_f, uv, offsets, gradient_mode: str,

@@ -37,11 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 PANEL_W = 128
 _MAX_SMEM_CHUNK = 256
 
-# Patch-grid warp clamp (cfg.patchWarp; core/residuals imports these). The
-# scaled gather kernel sizes its load window from PATCH_SCALE_MAX, so the
-# clamp and the kernel window are one definition.
-PATCH_SCALE_MIN = 0.5
-PATCH_SCALE_MAX = 2.0
+# Patch-grid warp clamp (one definition with the residual model — the
+# scaled gather kernel sizes its load window from PATCH_SCALE_MAX).
+from ..constants import PATCH_SCALE_MIN, PATCH_SCALE_MAX  # noqa: E402
 
 
 def default_win_px(patch_radius: int) -> int:
@@ -60,7 +58,14 @@ def lane_stride(patch_radius: int, win_px: int | None = None) -> int:
     one 3*win_px-lane window."""
     if win_px is None:
         win_px = default_win_px(patch_radius)
-    return ((PANEL_W - 3 * win_px) // 3) * 3
+    stride = ((PANEL_W - 3 * win_px) // 3) * 3
+    if stride <= 0:
+        raise ValueError(
+            f"window of {win_px} px (3*{win_px} lanes) does not fit a "
+            f"{PANEL_W}-lane panel with a positive stride — patchRadius "
+            f"{patch_radius} is too large for this kernel (the scaled "
+            "path supports patchRadius <= 9; use solverBackend=xla)")
+    return stride
 
 
 def num_panels(width: int, patch_radius: int,
@@ -688,7 +693,14 @@ def warp_patches_scaled(panels, uv, rho, valid, patch_radius: int,
 
     x0 = jnp.floor(x - r * patch_radius).astype(jnp.int32)
     y0 = jnp.floor(y - r * patch_radius).astype(jnp.int32)
-    max_lane0 = (n_pan - 1) * stride + PANEL_W - wl
+    # Floored to a multiple of 3: a raw (... + PANEL_W - wl) clamp bound is
+    # ≡ 2 (mod 3), so a clamped right-edge window would start mid-triple
+    # and every "value" tap would read a gradient lane (review round 5;
+    # regression: test_patch_stats.py::test_scaled_right_edge_exact). The
+    # panels' padded tail still covers [max_lane0, max_lane0 + wl), and
+    # in-bounds observations keep exact taps after the clamp because the
+    # window is PATCH_SCALE_MAX-sized while their span is rho-sized.
+    max_lane0 = (((n_pan - 1) * stride + PANEL_W - wl) // 3) * 3
     lane0 = jnp.clip(3 * x0, 0, max_lane0)
     y0 = jnp.clip(y0, 0, h - win)
     pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
@@ -874,7 +886,10 @@ def warp_patches_grouped_scaled(panels, uv, rho, valid, patch_radius: int,
     r = jnp.pad(r, pad, constant_values=1.0)
 
     x0 = jnp.floor(x - r * patch_radius).astype(jnp.int32)
-    max_lane0 = (n_pan - 1) * stride + PANEL_W - 3 * win_w
+    # Multiple of 3 — see the matching clamp in warp_patches_scaled (a
+    # mod-3 remainder here breaks the value/gx/gy interleave phase for
+    # clamped-but-valid right-edge windows).
+    max_lane0 = (((n_pan - 1) * stride + PANEL_W - 3 * win_w) // 3) * 3
     lane0 = jnp.clip(3 * x0, 0, max_lane0)
     pan = jnp.minimum(lane0 // stride, n_pan - 1).astype(jnp.int32)
     o = lane0 - pan * stride                               # window lane

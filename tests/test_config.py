@@ -76,6 +76,13 @@ def test_pbaconfig_validation():
     with pytest.raises(ValueError):
         PBAConfig(patchWarp="scale", solverBackend="pallas",
                   interpolation="bicubic").validate()
+    # The scaled gather window (3 * (2*ceil(2R)+2) lanes) must fit one
+    # 128-lane panel: R <= 9 on the pallas path.
+    PBAConfig(patchWarp="scale", solverBackend="pallas",
+              patchRadius=9).validate()
+    with pytest.raises(ValueError):
+        PBAConfig(patchWarp="scale", solverBackend="pallas",
+                  patchRadius=10).validate()
     with pytest.raises(ValueError):
         PBAConfig(patchWarp="bogus").validate()
     for mode in ("scale", "affine"):

@@ -338,3 +338,77 @@ def test_scaled_affine_norm_falls_back_to_einsum_path(rng):
     np.testing.assert_allclose(np.asarray(out.gtr) * v[:, None, :],
                                np.asarray(ref.gtr) * v[:, None, :],
                                atol=1e-3, rtol=1e-4)
+
+
+def test_scaled_right_edge_exact(rng):
+    """Right-edge regression (round-5 review finding 1): a valid
+    observation whose rho-window start exceeds the panel clamp bound used
+    to get a non-multiple-of-3 lane offset — every 'value' tap then read a
+    gradient lane. With the clamp floored to the interleave stride, taps
+    of in-bounds observations must match the XLA gather path exactly
+    (the clamp only widens the window left, never past the taps)."""
+    from photobundle_tpu.image import interp, patches
+    from photobundle_tpu.ops import patch_warp as pw
+
+    h, wi, pr, ps = 48, 1226, 2, 5
+    channels = jnp.asarray(
+        rng.standard_normal((1, 1, h, wi)).astype(np.float32))
+    gx, gy = interp.image_gradients(channels)
+    grads = jnp.stack([gx, gy], axis=-1)
+    panels = pw.build_interleaved_panels(channels, grads, pr,
+                                         win_px=pw.scaled_win_px(pr))
+    n = 8
+    rho1 = np.linspace(0.6, 1.6, n).astype(np.float32)
+    u = (wi - 2.0 - 2.0 * rho1 - 0.3).astype(np.float32)  # hugging the edge
+    # The regression requires the clamp ACTIVE for at least some points:
+    stride = pw.lane_stride(pr, pw.scaled_win_px(pr))
+    n_pan = panels.shape[2]
+    max_lane0 = ((((n_pan - 1) * stride + pw.PANEL_W
+                   - 3 * pw.scaled_win_px(pr))) // 3) * 3
+    assert (3 * np.floor(u - rho1 * pr) > max_lane0).any()
+    v = np.full((n,), 24.6, np.float32)
+    uv = jnp.asarray(np.stack([u, v], -1))[:, None, :]     # (N, 1, 2)
+    rho = jnp.asarray(rho1)[:, None]
+    valid = jnp.ones((n, 1), bool)
+
+    offsets = patches.patch_offsets(pr)
+    from photobundle_tpu.core.residuals import _sample_patches
+    s_ref, g_ref, ok = _sample_patches(channels[0], grads[0], uv[:, 0],
+                                       offsets, "sampled",
+                                       scale=jnp.asarray(rho1))
+    assert bool(ok.all())
+
+    # einsum-resample path
+    s, gxs, gys = pw.warp_patches_scaled(panels, uv, rho, valid, pr,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(s[:, 0]), np.asarray(s_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gxs[:, 0]),
+                               np.asarray(g_ref[..., 0]), atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gys[:, 0]),
+                               np.asarray(g_ref[..., 1]), atol=1e-5,
+                               rtol=1e-5)
+
+    # fused kernel path (raw packed samples, no stats fusion)
+    packed, n_pad = pw.warp_patches_grouped_scaled(panels, uv, rho, valid,
+                                                   pr, interpret=True)
+    g_obs, _, gpf, _ = pw.packed_geometry(n, pr)
+    arr = np.asarray(packed)                   # (C, W, GPF, ps, 128)
+    wl = 3 * (ps + 1)
+    got = np.zeros((n, ps * ps, 3), np.float32)
+    for q in range(n):
+        j, gq = q // gpf, q % gpf
+        for ky in range(ps):
+            for kx in range(ps):
+                got[q, ky * ps + kx] = arr[0, 0, gq, ky,
+                                           wl * j + 3 * kx:
+                                           wl * j + 3 * kx + 3]
+    np.testing.assert_allclose(got[:, :, 0], np.asarray(s_ref)[:, 0],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got[:, :, 1],
+                               np.asarray(g_ref)[:, 0, :, 0], atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(got[:, :, 2],
+                               np.asarray(g_ref)[:, 0, :, 1], atol=1e-5,
+                               rtol=1e-5)
