@@ -102,12 +102,16 @@ fi
 if [ "$phase" = "all" ] || [ "$phase" = "lateral" ]; then
     # Lateral-strafe parity control (round 4) — now with walk rows
     # (round-4 verdict task 8).
+    # Renderer jax2 (round 5): the float32 img+depth readback of 'jax'
+    # (~7 MB/frame) reliably WEDGES the tunnel mid-render; jax2's
+    # device-side downsample + uint8 (no depth) is ~8x less transfer.
+    # New dataset root -> new provenance key (recorded + printed).
     for model in iid walk; do
         run "r5g_lateral_${model}" python tools/golden_kitti.py \
-            --root /tmp/golden_lateral --frames 60 --trajectory lateral \
-            --obstacles none --renderer jax --error-model "$model" \
+            --root /tmp/golden_lateral2 --frames 60 --trajectory lateral \
+            --obstacles none --renderer jax2 --error-model "$model" \
             --configs reference_exact,W5_production \
-            --out-dir "/tmp/golden_lateral_out_${model}"
+            --out-dir "/tmp/golden_lateral2_out_${model}"
     done
 fi
 

@@ -1,0 +1,63 @@
+#!/bin/bash
+# Round-5 follow-up TPU session (runs after tpu_session_r5.sh golden):
+#   1. lateral parity control with the jax2 renderer (the float32 'jax'
+#      readback wedged the tunnel mid-render on the first attempt —
+#      see tpu_session_r5.sh lateral phase note).
+#   2. pwscale backend A/B: same golden, same seeds, solverBackend=xla
+#      vs the (already-swept) Pallas default — attributes the
+#      +39.5%(xla) vs +27.9%(pallas) seed-99 swing: accumulation-order
+#      noise on a chaotic solve, or a systematic path difference.
+set -u
+mkdir -p /root/repo/benchlogs
+cd /root/repo
+P=benchlogs
+run() {
+    name=$1; shift
+    echo "=== $name: $* ==="
+    timeout 3600 "$@" 2>&1 | tee "$P/$name.log" | tail -12
+    rc=${PIPESTATUS[0]}
+    echo "[exit $rc]" >> "$P/$name.log"
+    if [ "$rc" -ne 0 ]; then
+        echo "FAILED ($rc): $name — aborting session" >&2
+        exit "$rc"
+    fi
+}
+
+for attempt in 1 2 3; do
+    if timeout 120 python -c "import jax; jax.devices()" 2>/dev/null; then
+        break
+    fi
+    echo "tunnel probe $attempt hung; retrying in 90s..." >&2
+    sleep 90
+    if [ "$attempt" = 3 ]; then
+        echo "TPU tunnel unreachable — aborting session" >&2
+        exit 9
+    fi
+done
+
+phase=${1:-all}
+
+if [ "$phase" = "all" ] || [ "$phase" = "lateral" ]; then
+    for model in iid walk; do
+        run "r5g_lateral_${model}" python tools/golden_kitti.py \
+            --root /tmp/golden_lateral2 --frames 60 --trajectory lateral \
+            --obstacles none --renderer jax2 --error-model "$model" \
+            --configs reference_exact,W5_production \
+            --out-dir "/tmp/golden_lateral2_out_${model}"
+    done
+fi
+
+if [ "$phase" = "all" ] || [ "$phase" = "ab" ]; then
+    # Pallas rows for these seeds are in r5g_sharp_iid_s{99,7,123}.log;
+    # these runs differ ONLY in solverBackend.
+    for seed in 99 7 123; do
+        run "r5ab_pwscale_xla_s${seed}" python tools/golden_kitti.py \
+            --root /tmp/golden_sharp --frames 100 --supersample 2 \
+            --min-wavelength 0.10 --renderer jax \
+            --error-model iid --seed "$seed" \
+            --configs W5_production_pwscale --set solverBackend=xla \
+            --out-dir "/tmp/golden_sharp_out_abxla_${seed}"
+    done
+fi
+
+echo "=== done; logs in benchlogs/ — commit them ==="
