@@ -60,4 +60,12 @@ if [ "$phase" = "all" ] || [ "$phase" = "ab" ]; then
     done
 fi
 
+if [ "$phase" = "all" ] || [ "$phase" = "ab" ] || [ "$phase" = "bench" ]; then
+    # The r5 bench.py rewrite (K-chained links, RTT measured + subtracted,
+    # CPU probe chained identically) landed AFTER the 05:45 r5_bench run —
+    # validate the driver's end-of-round entrypoint on real hardware and
+    # record the new-methodology number.
+    run r5b_bench python bench.py
+fi
+
 echo "=== done; logs in benchlogs/ — commit them ==="
