@@ -138,6 +138,14 @@ CONFIGS = {
     # sharp golden — see BASELINE.md.
     "W5_production_pwscale": dict(slidingWindowSize=5, motionPriorWeight=2.0,
                                   posePriorWeight=4.0, patchWarp="scale"),
+    # c2f + hard rotational anchoring to the VO input: the walk-regime
+    # winner (round-5 multi-seed table: best walk mean, rotational RPE(1)
+    # 10-20x better than every other config). VO rotation drifts far
+    # less than translation, so anchoring rotation hard while letting
+    # translation float matches the drift error structure.
+    "W5_production_rot": dict(slidingWindowSize=5, motionPriorWeight=2.0,
+                              posePriorWeight=4.0, pyramidLevels=3,
+                              coarseToFine=True, posePriorRotWeight=256.0),
 }
 
 
