@@ -107,3 +107,50 @@ def test_jax_renderer_matches_numpy(tmp_path):
                   / depth_np[valid]) < 1e-4
     # Depth validity masks agree (max_depth cut + obstacle hits).
     assert np.mean((depth_np > 0) != (depth_jx > 0)) < 0.01
+
+
+def test_golden_aggregate_parses_and_flags_collisions(tmp_path):
+    """tools/golden_aggregate.py: parses the provenance-keyed tables
+    golden_kitti prints, groups by (provenance, model), computes the
+    sign record vs the baseline config, and WARNS on colliding labels
+    (two logs publishing different values under one config name)."""
+    log1 = tmp_path / "a.log"
+    log1.write_text(
+        "BASELINE.md table (iid error model, seed 7, init ATE 0.0325, "
+        "init RPE(1) 0.0442 m,\nprovenance jax/2/0.1/deadbeef/200png):\n"
+        "| Config | refined ATE | reduction | RPE(1) trans | RPE(1) rot |\n"
+        "|---|---|---|---|---|\n"
+        "| W5_production | 0.0234 | +28.0% | 0.0215 | 0.192 deg |\n"
+        "| W5_production_tukey | 0.0212 | +34.8% | 0.0205 | 0.106 deg |\n")
+    log2 = tmp_path / "b.log"
+    log2.write_text(
+        "BASELINE.md table (iid error model, seed 9, init ATE 0.0346, "
+        "init RPE(1) 0.0465 m,\nprovenance jax/2/0.1/deadbeef/200png):\n"
+        "| Config | refined ATE | reduction | RPE(1) trans | RPE(1) rot |\n"
+        "|---|---|---|---|---|\n"
+        "| W5_production | 0.0244 | +29.5% | 0.0208 | 0.331 deg |\n"
+        "| W5_production_tukey | 0.0226 | +34.6% | 0.0200 | 0.132 deg |\n")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "golden_aggregate.py"),
+         "--logs", str(tmp_path / "*.log")],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "2W/0L" in out.stdout           # tukey beats baseline twice
+    assert "(baseline)" in out.stdout
+    assert "+34.7%" in out.stdout          # tukey mean over the 2 seeds
+    assert "WARNING" not in out.stderr
+
+    # Same label, same seed, different value -> collision warning.
+    log3 = tmp_path / "c.log"
+    log3.write_text(
+        "BASELINE.md table (iid error model, seed 7, init ATE 0.0325, "
+        "init RPE(1) 0.0442 m,\nprovenance jax/2/0.1/deadbeef/200png):\n"
+        "| Config | refined ATE | reduction | RPE(1) trans | RPE(1) rot |\n"
+        "|---|---|---|---|---|\n"
+        "| W5_production | 0.0300 | +8.0% | 0.0215 | 0.192 deg |\n")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "golden_aggregate.py"),
+         "--logs", str(tmp_path / "*.log")],
+        capture_output=True, text=True)
+    assert out.returncode == 0
+    assert "colliding rows" in out.stderr

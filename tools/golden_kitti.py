@@ -284,6 +284,13 @@ def main() -> int:
     rows = []
     for name in args.configs.split(","):
         overrides = dict(CONFIGS[name], **extra)
+        if extra:
+            # Disambiguate the printed config label: --set overrides
+            # change the config, and tools/golden_aggregate.py groups
+            # rows by label — an unmarked override would silently merge
+            # with (or shadow) the base config's cells.
+            name = name + "".join(f"+{k}={v}" for k, v in sorted(
+                extra.items()))
         cfg = PBAConfig(dataDir=args.root, sequence=0,
                         numFrames=args.frames,
                         stereoAlgorithm="BM", numDisparities=128,
