@@ -31,23 +31,27 @@ import sys
 
 HDR = re.compile(
     r"BASELINE\.md table \((?P<model>\w+) error model(?:, seed "
-    r"(?P<seed>\d+))?, init ATE (?P<init_ate>[\d.]+)")
-PROV = re.compile(r"provenance (?P<prov>[\w./]+)")
+    r"(?P<seed>\d+))?(?:, (?P<frames>\d+) frames)?, "
+    r"init ATE (?P<init_ate>[\d.]+)")
+PROV = re.compile(r"provenance (?P<prov>[\w./-]+)")
 ROW = re.compile(
-    r"^\| (?P<cfg>[\w+= .]+?) \| (?P<ate>[\d.]+) \| (?P<red>[+-][\d.]+)% "
+    r"^\| (?P<cfg>[-\w+= .]+?) \| (?P<ate>[\d.]+) \| (?P<red>[+-][\d.]+)% "
     r"\| (?P<rpet>[\d.]+) \| (?P<rper>[\d.]+) deg \|")
 
 
 def parse_logs(paths):
-    """Yield dicts {model, seed, prov, cfg, ate, red, rpet, rper, log}."""
+    """Yield dicts {model, seed, frames, prov, cfg, ...} per table row."""
     for path in paths:
-        model = seed = prov = None
+        model = seed = prov = frames = None
         with open(path, errors="replace") as fh:
             for line in fh:
                 m = HDR.search(line)
                 if m:
                     model = m.group("model")
                     seed = m.group("seed") or "99"
+                    # Pre-round-5 headers omit the run's frame count;
+                    # those logs group under frames='?'.
+                    frames = m.group("frames") or "?"
                     prov = None
                     continue
                 m = PROV.search(line)
@@ -56,7 +60,7 @@ def parse_logs(paths):
                     continue
                 m = ROW.match(line.strip())
                 if m and model is not None:
-                    yield dict(model=model, seed=seed,
+                    yield dict(model=model, seed=seed, frames=frames,
                                prov=prov or "unkeyed",
                                cfg=m.group("cfg").strip(),
                                ate=float(m.group("ate")),
@@ -82,29 +86,37 @@ def main() -> int:
         print("no golden tables found in the logs", file=sys.stderr)
         return 1
 
-    # group[(prov, model)][cfg][seed] -> last row wins (re-runs supersede),
-    # but a DIFFERENT value for an already-seen cell is flagged: it means
-    # two logs used the same config label for different configurations
-    # (e.g. pre-round-5 --set runs, whose overrides were not in the label).
+    # group[(prov, frames, model)][cfg][seed] -> the row from the
+    # last-parsed log wins (glob order, i.e. lexicographic path order —
+    # NOT chronological), and a DIFFERENT value for an already-seen cell
+    # is flagged: it means two logs used the same config label for
+    # different configurations (e.g. pre-round-5 --set runs, whose
+    # overrides were not in the label). Frames is part of the group key
+    # because golden_kitti's render-once cache gives a 60-frame and a
+    # 100-frame run on the same root the SAME provenance key while their
+    # init trajectories (and thus every reduction cell) differ.
     group = collections.defaultdict(
         lambda: collections.defaultdict(dict))
     for r in rows:
-        cell = group[(r["prov"], r["model"])][r["cfg"]]
+        cell = group[(r["prov"], r["frames"], r["model"])][r["cfg"]]
         old = cell.get(r["seed"])
         if old is not None and abs(old["red"] - r["red"]) > 1e-9:
             print(f"WARNING: colliding rows for {r['cfg']} seed "
                   f"{r['seed']} ({r['model']}): {old['red']:+.1f}% "
                   f"[{old['log']}] vs {r['red']:+.1f}% [{r['log']}] — "
-                  f"keeping the later log; disambiguate with a --set-"
+                  f"keeping the LAST-PARSED log (lexicographic path "
+                  f"order, not run time); disambiguate with a --set-"
                   f"suffixed label or a narrower --logs glob",
                   file=sys.stderr)
         cell[r["seed"]] = r
 
-    for (prov, model), cfgs in sorted(group.items()):
+    for (prov, frames, model), cfgs in sorted(group.items()):
         seeds = sorted({s for c in cfgs.values() for s in c},
                        key=lambda s: int(s))
-        print(f"\n### {model} error model — provenance {prov} "
-              f"({len(paths)} logs)")
+        logs = sorted({v["log"] for c in cfgs.values()
+                       for v in c.values()})
+        print(f"\n### {model} error model, {frames} frames — "
+              f"provenance {prov} ({len(logs)} logs)")
         head = " | ".join(f"s{s}" for s in seeds)
         print(f"| Config | {head} | mean | vs {args.baseline} |")
         print("|---" * (len(seeds) + 3) + "|")

@@ -319,7 +319,8 @@ def main() -> int:
         str(prov.get(k)) for k in ("renderer", "supersample",
                                    "min_wavelength", "content_hash"))
     print(f"\nBASELINE.md table ({args.error_model} error model, "
-          f"seed {args.seed}, init ATE {ate_init:.4f}, "
+          f"seed {args.seed}, {args.frames} frames, "
+          f"init ATE {ate_init:.4f}, "
           f"init RPE(1) {rpe_init:.4f} m,\n"
           f"provenance {prov_key}):")
     print("| Config | refined ATE | reduction | RPE(1) trans | RPE(1) rot |")

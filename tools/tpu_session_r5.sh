@@ -17,35 +17,12 @@ set -u
 mkdir -p /root/repo/benchlogs
 cd /root/repo
 P=benchlogs
-run() {
-    name=$1; shift
-    echo "=== $name: $* ==="
-    timeout 3600 "$@" 2>&1 | tee "$P/$name.log" | tail -12
-    rc=${PIPESTATUS[0]}
-    echo "[exit $rc]" >> "$P/$name.log"
-    if [ "$rc" -ne 0 ]; then
-        echo "FAILED ($rc): $name — aborting session" >&2
-        exit "$rc"
-    fi
-}
+. tools/tpu_session_lib.sh
 
 phase=${1:-all}
 
-# Tunnel preflight (round 5): a wedged chip claim makes the FIRST jax call
-# of a job hang silently until its 3600 s timeout — probe cheaply first and
-# retry while the stale grant expires (~90 s) instead of burning an hour.
 if [ "$phase" != "dryrun" ]; then
-    for attempt in 1 2 3; do
-        if timeout 120 python -c "import jax; jax.devices()" 2>/dev/null; then
-            break
-        fi
-        echo "tunnel probe $attempt hung; retrying in 90s..." >&2
-        sleep 90
-        if [ "$attempt" = 3 ]; then
-            echo "TPU tunnel unreachable — aborting session" >&2
-            exit 9
-        fi
-    done
+    tunnel_preflight
 fi
 
 if [ "$phase" = "dryrun" ]; then

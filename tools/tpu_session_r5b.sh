@@ -11,29 +11,8 @@ set -u
 mkdir -p /root/repo/benchlogs
 cd /root/repo
 P=benchlogs
-run() {
-    name=$1; shift
-    echo "=== $name: $* ==="
-    timeout 3600 "$@" 2>&1 | tee "$P/$name.log" | tail -12
-    rc=${PIPESTATUS[0]}
-    echo "[exit $rc]" >> "$P/$name.log"
-    if [ "$rc" -ne 0 ]; then
-        echo "FAILED ($rc): $name — aborting session" >&2
-        exit "$rc"
-    fi
-}
-
-for attempt in 1 2 3; do
-    if timeout 120 python -c "import jax; jax.devices()" 2>/dev/null; then
-        break
-    fi
-    echo "tunnel probe $attempt hung; retrying in 90s..." >&2
-    sleep 90
-    if [ "$attempt" = 3 ]; then
-        echo "TPU tunnel unreachable — aborting session" >&2
-        exit 9
-    fi
-done
+. tools/tpu_session_lib.sh
+tunnel_preflight
 
 phase=${1:-all}
 
@@ -60,12 +39,19 @@ if [ "$phase" = "all" ] || [ "$phase" = "ab" ]; then
     done
 fi
 
-if [ "$phase" = "all" ] || [ "$phase" = "ab" ] || [ "$phase" = "bench" ]; then
+if [ "$phase" = "all" ] || [ "$phase" = "bench" ]; then
     # The r5 bench.py rewrite (K-chained links, RTT measured + subtracted,
     # CPU probe chained identically) landed AFTER the 05:45 r5_bench run —
     # validate the driver's end-of-round entrypoint on real hardware and
-    # record the new-methodology number.
+    # record the new-methodology number. (Gated on 'bench' only: re-running
+    # just the A/B must not clobber these committed logs.)
     run r5b_bench python bench.py
+    # Planned-log completeness (round-4 verdict task 7): these three from
+    # tpu_session_r5.sh's bench phase never ran in the piecemeal sweep.
+    run r5_warp_kernel      python tools/bench_warp_kernel.py
+    run r5_ablate           python tools/ablate_packed_kernel.py
+    run r5_multihost_dry    env JAX_PLATFORMS=cpu \
+        python tools/bench_multihost.py --local --procs 2
 fi
 
 echo "=== done; logs in benchlogs/ — commit them ==="

@@ -9,29 +9,8 @@ set -u
 mkdir -p /root/repo/benchlogs
 cd /root/repo
 P=benchlogs
-run() {
-    name=$1; shift
-    echo "=== $name: $* ==="
-    timeout 3600 "$@" 2>&1 | tee "$P/$name.log" | tail -12
-    rc=${PIPESTATUS[0]}
-    echo "[exit $rc]" >> "$P/$name.log"
-    if [ "$rc" -ne 0 ]; then
-        echo "FAILED ($rc): $name — aborting session" >&2
-        exit "$rc"
-    fi
-}
-
-for attempt in 1 2 3; do
-    if timeout 120 python -c "import jax; jax.devices()" 2>/dev/null; then
-        break
-    fi
-    echo "tunnel probe $attempt hung; retrying in 90s..." >&2
-    sleep 90
-    if [ "$attempt" = 3 ]; then
-        echo "TPU tunnel unreachable — aborting session" >&2
-        exit 9
-    fi
-done
+. tools/tpu_session_lib.sh
+tunnel_preflight
 
 for seed in 99 7 123; do
     run "r5ab_fixed_xla_s${seed}" python tools/golden_kitti.py \
