@@ -27,17 +27,19 @@ fi
 
 if [ "$phase" = "dryrun" ]; then
     for t in bench_lm_breakdown bench_scaling bench_warp_kernel \
-             bench_sampling probe_eval65k; do
+             bench_sampling; do
         JAX_PLATFORMS=cpu timeout 120 python -c "import importlib,sys; \
 sys.path.insert(0,'tools'); importlib.import_module('$t')" 2>/dev/null \
             && echo "ok  tools/$t.py" || echo "FAIL tools/$t.py (import)"
     done
-    # ablate_packed_kernel executes its sweep at module level (it is a
-    # straight-line measurement script) — import would RUN it; check
-    # syntax only.
-    python -m py_compile tools/ablate_packed_kernel.py \
-        && echo "ok  tools/ablate_packed_kernel.py (py_compile)" \
-        || echo "FAIL tools/ablate_packed_kernel.py (py_compile)"
+    # ablate_packed_kernel and probe_eval65k execute their sweeps at
+    # module level (straight-line measurement scripts) — import would
+    # RUN them; check syntax only.
+    for t in ablate_packed_kernel probe_eval65k; do
+        python -m py_compile "tools/$t.py" \
+            && echo "ok  tools/$t.py (py_compile)" \
+            || echo "FAIL tools/$t.py (py_compile)"
+    done
     exit 0
 fi
 
